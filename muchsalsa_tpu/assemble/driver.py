@@ -1,0 +1,227 @@
+"""Top-level assembly driver — the 11-phase pipeline.
+
+Reference counterpart: ``main()`` (``src/main.cpp:130-322``).  Phase map:
+
+  ① PAF ingest + match dedup           (BlastFileReader / MatchMap)
+  ② scaffold all-pairs -> edges        (MatchMap::calculateEdges)
+  ③ chaining + overlap classification  (chainingAndOverlaps, main.cpp:328-414)
+  ④ contraction edge discovery         (findContractionEdges)
+  ⑤ contraction targets / deletables   (findContractionTargets/...)
+  ⑥ contract + delete + prune orders   (contract/findDeletableEdges)
+  ⑦ bitweight                          (computeBitweight)
+  ⑧ maximum spanning tree              (getMaxSpanTree)
+  ⑨ decycle                            (decycle)
+  ⑩ connected components               (getConnectedComponents)
+  ⑪ per-component orient + linearize + consensus (assemblePaths)
+
+The reference runs phases as thread-pool job fan-outs over shared
+mutable state; here each phase is a deterministic sweep (the hot phase ③
+batches onto the device via ``ops.chaining_jax`` when available).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from muchsalsa_tpu.assemble import contraction as ctr
+from muchsalsa_tpu.assemble import spanning
+from muchsalsa_tpu.assemble.consensus import ConsensusContext, assemble_path
+from muchsalsa_tpu.assemble.linearize import linearize_graph
+from muchsalsa_tpu.assemble.orientation import get_directed_graph, pick_start_vertex
+from muchsalsa_tpu.config import Config, DEFAULT_CONFIG
+from muchsalsa_tpu.graph.graph import Graph, VertexInfo
+from muchsalsa_tpu.io.fasta import SequenceStore
+from muchsalsa_tpu.io.output import OutputWriter
+from muchsalsa_tpu.io.paf import read_paf
+from muchsalsa_tpu.io.registry import Registry
+from muchsalsa_tpu.matching.edges import build_edges
+from muchsalsa_tpu.matching.store import EdgeMatches, MatchStore
+from muchsalsa_tpu.ops.chaining import make_edge_context, max_pairwise_paths
+from muchsalsa_tpu.ops.overlap import get_overlap
+from muchsalsa_tpu.utils.timing import StageTimer
+
+
+def build_graph(store: MatchStore, edge_matches: EdgeMatches) -> Graph:
+    graph = Graph()
+    for i, vid in enumerate(store.vertex_ids):
+        graph.add_vertex(
+            VertexInfo(
+                int(vid),
+                int(store.vertex_length[i]),
+                int(store.vertex_meta_line[i]),
+            )
+        )
+    for e in range(edge_matches.n_edges):
+        edge = graph.add_edge(int(edge_matches.edge_v[e]), int(edge_matches.edge_w[e]))
+        edge.em_idx = e
+    return graph
+
+
+def chain_edge(ctx, wiggle_room: int):
+    """main.cpp:328-414 — returns (shadow, orders)."""
+    k = len(ctx.illu_ids)
+    plus_rows = np.array([i for i in range(k) if ctx.em_dir[i]], dtype=np.int64)
+    minus_rows = np.array([i for i in range(k) if not ctx.em_dir[i]], dtype=np.int64)
+
+    minus_paths = max_pairwise_paths(ctx, minus_rows, False, wiggle_room)
+    plus_paths = max_pairwise_paths(ctx, plus_rows, True, wiggle_room)
+
+    has_primary = any(p.primary for p in plus_paths) or any(p.primary for p in minus_paths)
+    if has_primary:
+        plus_paths = [p for p in plus_paths if p.primary]
+        minus_paths = [p for p in minus_paths if p.primary]
+
+    has_multi = any(len(p.ids) > 1 for p in plus_paths) or any(
+        len(p.ids) > 1 for p in minus_paths
+    )
+    if has_multi:
+        plus_paths = [p for p in plus_paths if len(p.ids) > 1]
+        minus_paths = [p for p in minus_paths if len(p.ids) > 1]
+
+    combined = len(plus_paths) + len(minus_paths)
+    if combined > 1:
+        shadow = True
+    else:
+        path = minus_paths[0] if minus_paths else plus_paths[0]
+        shadow = not path.primary
+
+    orders = []
+    for p in minus_paths:
+        o = get_overlap(ctx, p.ids, False, p.score, p.primary)
+        if o is not None:
+            orders.append(o)
+    for p in plus_paths:
+        o = get_overlap(ctx, p.ids, True, p.score, p.primary)
+        if o is not None:
+            orders.append(o)
+    return shadow, orders
+
+
+def chaining_phase(
+    graph: Graph, store: MatchStore, edge_matches: EdgeMatches, wiggle_room: int
+) -> None:
+    for edge in graph.edges():
+        ctx = make_edge_context(store, edge_matches, edge.em_idx)
+        shadow, orders = chain_edge(ctx, wiggle_room)
+        edge.shadow = shadow
+        edge.orders.extend(orders)
+
+
+def assemble(
+    paf_path: str | Path,
+    unitigs_path: str | Path,
+    nanopore_path: str | Path,
+    output_dir: str | Path,
+    config: Config = DEFAULT_CONFIG,
+    timer: StageTimer | None = None,
+) -> dict:
+    """Run the full core assembly; returns summary counters."""
+    timer = timer or StageTimer()
+    gcfg = config.graph
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    registry_nano = Registry()
+    registry_illu = Registry()
+
+    with timer.stage("ingest"):
+        records = read_paf(
+            paf_path,
+            min_matches=gcfg.min_matches,
+            th_length=gcfg.th_length,
+            th_matches=gcfg.th_matches,
+            skip_last_line=gcfg.skip_last_paf_line,
+            registry_nanopore=registry_nano,
+            registry_illumina=registry_illu,
+        )
+        store = MatchStore.from_paf(records)
+
+    with timer.stage("edges"):
+        edge_matches = build_edges(store, gcfg.th_overlap)
+        graph = build_graph(store, edge_matches)
+    timer.count("graph_order", graph.order)
+    timer.count("graph_size", graph.size)
+
+    with timer.stage("sequence_index"):
+        nano_seqs = SequenceStore(registry_nano)
+        nano_seqs.load(nanopore_path)
+        illu_seqs = SequenceStore(registry_illu)
+        illu_seqs.load(unitigs_path)
+
+    with timer.stage("chaining"):
+        chaining_phase(graph, store, edge_matches, gcfg.wiggle_room)
+
+    with timer.stage("contraction"):
+        contraction_edges = ctr.find_contraction_edges(graph, gcfg.wiggle_room)
+        targets = ctr.find_contraction_targets(graph, contraction_edges)
+        deletable_vertices, roots = ctr.find_deletable_vertices(contraction_edges, targets)
+        contain_elements = ctr.contract(
+            contraction_edges,
+            roots,
+            lambda nano, illu: store.row(nano, illu),
+            lambda vid: graph.vertex(vid).nanopore_length,
+        )
+        for vid in sorted(deletable_vertices):
+            graph.delete_vertex(vid)
+        for edge in ctr.prune_contained_orders(graph):
+            graph.delete_edge(edge)
+    timer.count("contraction_edges", len(contraction_edges))
+    timer.count("contraction_roots", len(roots))
+
+    with timer.stage("spanning"):
+        spanning.compute_bitweights(graph)
+        tree = spanning.max_span_tree(graph)
+        for edge in spanning.decycle(
+            graph,
+            tree,
+            gcfg.base_weight_multiplicator,
+            gcfg.max_weight_multiplicator,
+        ):
+            graph.delete_edge(edge)
+    timer.count("graph_order_reduced", graph.order)
+    timer.count("graph_size_reduced", graph.size)
+
+    with timer.stage("assembly"):
+        writer = OutputWriter(
+            out / "temp_1.query.fa", out / "temp_1.align.paf", out / "temp_1.target.fa"
+        )
+        ctx = ConsensusContext(
+            store,
+            edge_matches,
+            nano_seqs,
+            illu_seqs,
+            config.consensus.th_sequence_length,
+            config.consensus.sequence_line_length,
+        )
+        components = spanning.connected_components(graph)
+        asm_idx = -1
+        n_paths = 0
+        lcfg = config.linearize
+        for component in components:
+            sub = graph.subgraph(component)
+            start = pick_start_vertex(sub)
+            if start is None:
+                continue
+            dig = get_directed_graph(graph, sub, start)
+            paths = linearize_graph(
+                dig,
+                lcfg.cluster_weight_exact_max_order,
+                lcfg.path_min_length,
+                lcfg.path_min_length_touching,
+                lcfg.join_max_distance,
+            )
+            for path in paths:
+                asm_idx += 1
+                n_paths += 1
+                id2overlap: dict = {}
+                assemble_path(
+                    ctx, id2overlap, contain_elements, path, dig, asm_idx, writer
+                )
+        writer.close()
+    timer.count("components", len(components))
+    timer.count("paths", n_paths)
+
+    (out / "assembly_stats.json").write_text(timer.dump())
+    return {"components": len(components), "paths": n_paths, "timer": timer}

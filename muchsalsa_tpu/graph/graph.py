@@ -61,7 +61,7 @@ class EdgeOrder:
 class Edge:
     """Mutable edge record; identity-hashed like the reference's ``Edge*``."""
 
-    __slots__ = ("v", "w", "shadow", "weight", "consensus_direction", "orders")
+    __slots__ = ("v", "w", "shadow", "weight", "consensus_direction", "orders", "em_idx")
 
     def __init__(self, v: int, w: int):
         self.v = v
@@ -70,6 +70,10 @@ class Edge:
         self.weight = 0.0
         self.consensus_direction = Direction.NONE
         self.orders: list[EdgeOrder] = []
+        # index into the undirected EdgeMatches table; carried onto
+        # DiGraph edges (the reference instead copies EdgeMatch records
+        # onto new edges, dg.cpp:99-101)
+        self.em_idx = -1
 
     def other(self, vid: int) -> int:
         return self.w if vid == self.v else self.v
@@ -247,22 +251,21 @@ class DiGraph(_GraphBase):
         return dup
 
     def sort_topologically(self) -> list[int]:
-        """Kahn's algorithm (reference ``Graph.cpp:359-395``); canonical
-        deterministic order: seeds in insertion order, FIFO queue."""
+        """Kahn's algorithm, LIFO like the reference (``Graph.cpp:358-394``
+        pops from the back), seeds in insertion order, successors sorted.
+        On a cyclic graph this returns a *partial* order silently — the
+        reference does the same, and the anchor DiGraph in consensus can
+        be cyclic."""
         in_deg = {vid: self.in_degree(vid) for vid in self.vertices}
-        from collections import deque
-
-        queue = deque(vid for vid, d in in_deg.items() if d == 0)
+        stack = [vid for vid, d in in_deg.items() if d == 0]
         out: list[int] = []
-        while queue:
-            vid = queue.popleft()
+        while stack:
+            vid = stack.pop()
             out.append(vid)
             for succ in sorted(self._succ.get(vid, ())):
                 in_deg[succ] -= 1
                 if in_deg[succ] == 0:
-                    queue.append(succ)
-        if len(out) != len(self.vertices):
-            raise ValueError("Graph is not a DAG")
+                    stack.append(succ)
         return out
 
 

@@ -1,0 +1,271 @@
+"""Anchor chaining over shared unitigs — exact host oracle.
+
+Reference counterpart: ``getMaxPairwisePaths`` + ``checkCompatibility``
+(``libms/src/kernel/mpp.cpp:38-305``).  Given one overlap-graph edge
+(two nanopore reads) and the unitig ids they share in one strand class,
+this finds maximum-score chains of mutually order/gap-consistent anchors
+via the O(k^2) forward DP, returns the best chain plus disjoint chains
+scoring > 75% of the max, and applies the "interleaved anchors on both
+reads" shadow demotion.
+
+This module is the *bit-exact scalar oracle*; the batched/bucketized JAX
+device version (``muchsalsa_tpu.ops.chaining_jax``) is verified against
+it test-by-test.  Arithmetic is float64 throughout, like the C++ doubles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from muchsalsa_tpu.matching.store import EdgeMatches, MatchStore
+
+
+@dataclass
+class ChainResult:
+    ids: list[int]       # unitig ids in chain order
+    score: int           # double DP score truncated to size_t (mpp.cpp:34,221)
+    primary: bool
+
+
+@dataclass
+class EdgeContext:
+    """Everything chaining needs about one edge, gathered once.
+
+    ``v`` is the edge's first vertex (lower meta line), ``w`` the second
+    — the reference's ``edge.getVertices().first/.second``.
+    """
+
+    v: int
+    w: int
+    illu_ids: np.ndarray      # int32, per edge-match row
+    ov_start: np.ndarray
+    ov_end: np.ndarray
+    em_dir: np.ndarray        # bool
+    em_score: np.ndarray      # float64
+    em_primary: np.ndarray    # bool
+    # vertex-match data aligned with illu_ids, for v and w
+    v_ns: np.ndarray; v_ne: np.ndarray; v_is: np.ndarray; v_ie: np.ndarray
+    v_rr: np.ndarray; v_dir: np.ndarray
+    w_ns: np.ndarray; w_ne: np.ndarray; w_is: np.ndarray; w_ie: np.ndarray
+    w_rr: np.ndarray; w_dir: np.ndarray
+    # all vertex matches of v / w (for the shadow-demotion scan):
+    # (nano_start, nano_end, illu_id) sorted by (start, end, id)
+    v_all: np.ndarray         # (n, 3) int64
+    w_all: np.ndarray
+    v_len: int = 0            # nanopore read lengths
+    w_len: int = 0
+
+    def em_index(self, illu: int) -> int:
+        i = int(np.searchsorted(self.illu_ids, illu))
+        return i
+
+
+def make_edge_context(store: MatchStore, edges: EdgeMatches, edge_idx: int) -> EdgeContext:
+    rows = edges.edge_rows(edge_idx)
+    v = int(edges.edge_v[edge_idx])
+    w = int(edges.edge_w[edge_idx])
+    illu = edges.em_illu[rows]
+    rv = store.rows(np.full(len(rows), v), illu)
+    rw = store.rows(np.full(len(rows), w), illu)
+
+    def all_matches(vid: int) -> np.ndarray:
+        r = store.vertex_rows(vid)
+        arr = np.stack(
+            [store.nano_start[r], store.nano_end[r], store.illu_id[r]], axis=1
+        ).astype(np.int64)
+        order = np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))
+        return arr[order]
+
+    return EdgeContext(
+        v=v, w=w,
+        illu_ids=illu.astype(np.int64),
+        ov_start=edges.em_ov_start[rows].astype(np.int64),
+        ov_end=edges.em_ov_end[rows].astype(np.int64),
+        em_dir=edges.em_direction[rows],
+        em_score=edges.em_score[rows],
+        em_primary=edges.em_primary[rows],
+        v_ns=store.nano_start[rv].astype(np.int64), v_ne=store.nano_end[rv].astype(np.int64),
+        v_is=store.illu_start[rv].astype(np.int64), v_ie=store.illu_end[rv].astype(np.int64),
+        v_rr=store.rratio[rv], v_dir=store.direction[rv],
+        w_ns=store.nano_start[rw].astype(np.int64), w_ne=store.nano_end[rw].astype(np.int64),
+        w_is=store.illu_start[rw].astype(np.int64), w_ie=store.illu_end[rw].astype(np.int64),
+        w_rr=store.rratio[rw], w_dir=store.direction[rw],
+        v_all=all_matches(v),
+        w_all=all_matches(w),
+        v_len=int(store.vertex_length[store.vertex_index(v)]),
+        w_len=int(store.vertex_length[store.vertex_index(w)]),
+    )
+
+
+def _nano_check(ctx: EdgeContext, i1: int, i2: int, use_v: bool) -> tuple[bool, int, float]:
+    """One vertex's orientation/diff classification (mpp.cpp:41-112).
+
+    Returns (abort, orientation, diff).
+    """
+    if use_v:
+        ns, ne, is_, ie, rr, vdir = ctx.v_ns, ctx.v_ne, ctx.v_is, ctx.v_ie, ctx.v_rr, ctx.v_dir
+    else:
+        ns, ne, is_, ie, rr, vdir = ctx.w_ns, ctx.w_ne, ctx.w_is, ctx.w_ie, ctx.w_rr, ctx.w_dir
+
+    def corrected(i: int) -> tuple[float, float]:
+        ncl = (ctx.ov_start[i] - is_[i]) / rr[i]
+        ncr = (ie[i] - ctx.ov_end[i]) / rr[i]
+        if not vdir[i]:
+            ncl, ncr = ncr, ncl
+        return ns[i] + ncl, ne[i] - ncr
+
+    c1 = corrected(i1)
+    c2 = corrected(i2)
+
+    orientation, diff = 0, 0.0
+    if c1[0] <= c2[1] and c2[0] <= c1[1]:
+        if c1[0] < c2[0] and c1[1] < c2[1]:
+            orientation, diff = 2, c1[1] - c2[0] + 1
+        if c1[0] > c2[0] and c1[1] > c2[1]:
+            orientation, diff = -2, c2[1] - c1[0] + 1
+    elif c1[0] < c2[0]:
+        orientation, diff = 1, c2[0] - c1[1] + 1
+    else:
+        orientation, diff = -1, c1[0] - c2[1] + 1
+
+    # compare against the *uncorrected* ranges; mismatching signs abort
+    if ns[i1] <= ne[i2] and ns[i2] <= ne[i1]:
+        uco = 0
+        if ns[i1] < ns[i2] and ne[i1] < ne[i2]:
+            uco = 2
+        if ns[i1] > ns[i2] and ne[i1] > ne[i2]:
+            uco = -2
+        if (orientation < 0 and uco >= 0) or (orientation > 0 and uco <= 0):
+            return True, orientation, diff
+
+    return False, orientation, diff
+
+
+def check_compatibility(ctx: EdgeContext, i1: int, i2: int, wiggle_room: int) -> bool:
+    """mpp.cpp:38-142; ``i1``/``i2`` are edge-match row indices."""
+    abort1, o1, d1 = _nano_check(ctx, i1, i2, use_v=True)
+    abort2, o2, d2 = _nano_check(ctx, i1, i2, use_v=False)
+    if abort1 or abort2:
+        return False
+
+    if not ctx.em_dir[i1]:
+        o2 = -o2
+
+    if o1 == o2 and o1 != 0:
+        diff = max(d1, d2) - min(d1, d2)
+        return diff <= float(wiggle_room) or (
+            max(d1, d2) != 0 and diff * 100 / max(d1, d2) <= 15
+        )
+    if (o1 < 0 and o2 < 0) or (o1 > 0 and o2 > 0):
+        return d1 + d2 <= float(wiggle_room)
+    return False
+
+
+def max_pairwise_paths(
+    ctx: EdgeContext, rows: np.ndarray, direction: bool, wiggle_room: int
+) -> list[ChainResult]:
+    """mpp.cpp:145-305.  ``rows``: edge-match row indices of one strand class."""
+    if len(rows) == 0:
+        return []
+
+    # vStart: sorted by (nano range on v, illu id); vEnd likewise on w
+    v_keys = [(int(ctx.v_ns[r]), int(ctx.v_ne[r]), int(ctx.illu_ids[r]), int(r)) for r in rows]
+    w_keys = [(int(ctx.w_ns[r]), int(ctx.w_ne[r]), int(ctx.illu_ids[r]), int(r)) for r in rows]
+    v_keys.sort()
+    w_keys.sort()
+    if not direction:
+        w_keys.reverse()
+
+    srows = [k[3] for k in v_keys]  # edge-match rows in vStart order
+    L = len(srows)
+
+    paths: list[list[int]] = [[] for _ in range(L)]
+    scores = [float(ctx.em_score[r]) for r in srows]
+
+    for k in range(L - 1):
+        for l in range(k + 1, L):
+            score = scores[k] + float(ctx.em_score[srows[l]])
+            if score > scores[l] and check_compatibility(ctx, srows[k], srows[l], wiggle_room):
+                paths[l] = paths[k] + [k]
+                scores[l] = score
+
+    for i in range(L):
+        paths[i].append(i)
+
+    max_val = 0.0
+    max_idx = 0
+    for i in range(L):
+        if scores[i] > max_val:
+            max_val = scores[i]
+            max_idx = i
+
+    def ids_of(path: list[int]) -> list[int]:
+        return [int(ctx.illu_ids[srows[p]]) for p in path]
+
+    best_ids = ids_of(paths[max_idx])
+    has_primary = any(ctx.em_primary[srows[p]] for p in paths[max_idx]) or len(paths[max_idx]) > 2
+    # scores truncate double -> size_t on emplacement (path_t, mpp.cpp:34);
+    # the 75% threshold is computed from the *untruncated* double
+    result = [ChainResult(best_ids, int(max_val), bool(has_primary))]
+
+    threshold = max_val * 0.75
+    for i in range(L):
+        if scores[i] > threshold:
+            member_ids = ids_of(paths[i])
+            disjoint = all(
+                not any(mid in existing.ids for mid in member_ids) for existing in result
+            )
+            if disjoint:
+                result.append(
+                    ChainResult(
+                        member_ids,
+                        int(scores[i]),
+                        bool(any(ctx.em_primary[srows[p]] for p in paths[i])),
+                    )
+                )
+
+    # shadow demotion of a lone primary chain (mpp.cpp:251-302)
+    if len(result) == 1 and result[0].primary:
+        ids_start = _sorted_all(ctx.v_all)
+        ids_end = _sorted_all(ctx.w_all)
+        if not direction:
+            ids_end = ids_end[::-1]
+        p_ids = result[0].ids
+        front, back = p_ids[0], p_ids[-1]
+        if (ids_start[0] != front and ids_end[0] != front) or (
+            ids_start[-1] != back and ids_end[-1] != back
+        ):
+            result[0] = ChainResult(p_ids, result[0].score, False)
+        else:
+            i = j = 0
+            is_shadow = False
+            for pid in p_ids:
+                ri = _find_from(ids_start, i, pid)
+                is_inter = ri > i
+                i = ri + 1
+                rj = _find_from(ids_end, j, pid)
+                is_inter = is_inter and rj > j
+                j = rj + 1
+                if is_inter:
+                    is_shadow = True
+                    break
+            if is_shadow:
+                result[0] = ChainResult(p_ids, result[0].score, False)
+
+    return result
+
+
+def _sorted_all(all_matches: np.ndarray) -> list[int]:
+    """ids of a vertex's matches sorted by (nano range, id) — pre-sorted."""
+    return [int(x) for x in all_matches[:, 2]]
+
+
+def _find_from(haystack: list[int], start: int, needle: int) -> int:
+    """Index of needle at/after start; len(haystack) if absent (std::find_if)."""
+    start = min(start, len(haystack))
+    for idx in range(start, len(haystack)):
+        if haystack[idx] == needle:
+            return idx
+    return len(haystack)

@@ -1,0 +1,91 @@
+"""End-to-end assembly of simulated data (reference lacks such tests —
+SURVEY.md §4 notes zero kernel coverage; this is the golden-path check)."""
+
+import numpy as np
+import pytest
+
+from muchsalsa_tpu.assemble.driver import assemble
+from muchsalsa_tpu.testing.simulate import simulate, write_simulation
+from muchsalsa_tpu.utils.seq import reverse_complement
+
+
+def kmer_hit_fraction(contig: bytes, genome: bytes, k: int = 31, stride: int = 13) -> float:
+    """Fraction of sampled contig k-mers present in genome (either strand)."""
+    if len(contig) < k:
+        return 0.0
+    ref = genome + b"#" + reverse_complement(genome)
+    hits = total = 0
+    for i in range(0, len(contig) - k + 1, stride):
+        total += 1
+        if contig[i : i + k] in ref:
+            hits += 1
+    return hits / max(total, 1)
+
+
+def read_contigs(path) -> dict[str, bytes]:
+    contigs = {}
+    name = None
+    chunks: list[bytes] = []
+    for line in path.read_bytes().split(b"\n"):
+        if line.startswith(b">"):
+            if name is not None:
+                contigs[name] = b"".join(chunks)
+            name = line[1:].decode()
+            chunks = []
+        else:
+            chunks.append(line)
+    if name is not None:
+        contigs[name] = b"".join(chunks)
+    return contigs
+
+
+@pytest.mark.parametrize("seed,both_strands", [(7, False), (11, True), (42, True)])
+def test_assemble_simulated_genome(tmp_path, seed, both_strands):
+    rng = np.random.default_rng(seed)
+    sim = simulate(
+        rng,
+        genome_length=30_000,
+        unitig_length=1_200,
+        unitig_gap=250,
+        read_length=5_000,
+        coverage=10.0,
+        both_strands=both_strands,
+    )
+    paths = write_simulation(sim, tmp_path / "data")
+    outdir = tmp_path / "out"
+
+    result = assemble(paths["paf"], paths["unitigs"], paths["reads"], outdir)
+    assert result["components"] >= 1
+
+    contigs = read_contigs(outdir / "temp_1.target.fa")
+    assert contigs, "no contigs emitted"
+
+    total_len = sum(len(c) for c in contigs.values())
+    # contigs should cover a decent share of the genome
+    assert total_len > 0.5 * len(sim.genome)
+
+    # and consist overwhelmingly of true genomic sequence
+    for name, contig in contigs.items():
+        frac = kmer_hit_fraction(contig, sim.genome)
+        assert frac > 0.85, f"{name}: only {frac:.2%} genomic k-mers"
+
+    # query/paf outputs exist and are structurally valid
+    paf_lines = (outdir / "temp_1.align.paf").read_text().strip().split("\n")
+    for line in [l for l in paf_lines if l]:
+        cols = line.split("\t")
+        assert len(cols) == 12
+        assert cols[4] == "+"
+
+
+def test_assemble_deterministic(tmp_path):
+    rng = np.random.default_rng(5)
+    sim = simulate(rng, genome_length=20_000, coverage=8.0)
+    paths = write_simulation(sim, tmp_path / "data")
+
+    out1 = tmp_path / "out1"
+    out2 = tmp_path / "out2"
+    assemble(paths["paf"], paths["unitigs"], paths["reads"], out1)
+    assemble(paths["paf"], paths["unitigs"], paths["reads"], out2)
+
+    for fname in ("temp_1.target.fa", "temp_1.query.fa", "temp_1.align.paf"):
+        assert (out1 / fname).read_bytes() == (out2 / fname).read_bytes(), fname

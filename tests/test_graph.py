@@ -62,14 +62,15 @@ def test_digraph_degrees_and_topo():
     assert d.out_degree(1) == 0
 
 
-def test_digraph_topo_cycle_raises():
+def test_digraph_topo_cycle_partial():
+    # reference sortTopologically silently drops cycle members
     d = DiGraph()
-    for vid in range(2):
+    for vid in range(3):
         d.add_vertex(VertexInfo(vid))
     d.add_edge(0, 1)
-    d.add_edge(1, 0)
-    with pytest.raises(ValueError):
-        d.sort_topologically()
+    d.add_edge(1, 2)
+    d.add_edge(2, 1)
+    assert d.sort_topologically() == [0]
 
 
 def test_digraph_copy_independent_structure():
