@@ -151,7 +151,19 @@ def assemble(
         illu_seqs.load(unitigs_path)
 
     with timer.stage("chaining"):
-        chaining_phase(graph, store, edge_matches, gcfg.wiggle_room)
+        if config.device.use_device:
+            from muchsalsa_tpu.ops.chaining_jax import chaining_phase_device
+
+            chaining_phase_device(
+                graph,
+                store,
+                edge_matches,
+                gcfg.wiggle_room,
+                config.device.chain_buckets,
+                config.device.min_device_batch,
+            )
+        else:
+            chaining_phase(graph, store, edge_matches, gcfg.wiggle_room)
 
     with timer.stage("contraction"):
         contraction_edges = ctr.find_contraction_edges(graph, gcfg.wiggle_room)

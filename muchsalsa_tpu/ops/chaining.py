@@ -170,13 +170,9 @@ def max_pairwise_paths(
     if len(rows) == 0:
         return []
 
-    # vStart: sorted by (nano range on v, illu id); vEnd likewise on w
+    # vStart: sorted by (nano range on v, illu id)
     v_keys = [(int(ctx.v_ns[r]), int(ctx.v_ne[r]), int(ctx.illu_ids[r]), int(r)) for r in rows]
-    w_keys = [(int(ctx.w_ns[r]), int(ctx.w_ne[r]), int(ctx.illu_ids[r]), int(r)) for r in rows]
     v_keys.sort()
-    w_keys.sort()
-    if not direction:
-        w_keys.reverse()
 
     srows = [k[3] for k in v_keys]  # edge-match rows in vStart order
     L = len(srows)
@@ -194,6 +190,21 @@ def max_pairwise_paths(
     for i in range(L):
         paths[i].append(i)
 
+    return finalize_paths(ctx, srows, paths, scores, direction)
+
+
+def finalize_paths(
+    ctx: EdgeContext,
+    srows: list[int],
+    paths: list[list[int]],
+    scores: list[float],
+    direction: bool,
+) -> list[ChainResult]:
+    """Post-DP selection: best chain, 75% disjoint secondaries, shadow
+    demotion (mpp.cpp:201-304).  Shared by the host oracle and the JAX
+    batched DP (which reconstructs ``paths``/``scores`` from device
+    output)."""
+    L = len(srows)
     max_val = 0.0
     max_idx = 0
     for i in range(L):

@@ -1,0 +1,310 @@
+"""Batched, bucketized anchor-chaining DP for the device (TPU/XLA).
+
+This is the TPU-native replacement for the reference's job-per-edge
+``getMaxPairwisePaths`` fan-out (``mpp.cpp:145-249`` dispatched from
+``main.cpp:170-178``): instead of one thread touching one edge's shared
+hash maps, every (edge, strand-class) problem becomes one row of a
+padded ``(B, K)`` batch, the O(K^2) compatibility matrix and the forward
+DP run as vectorised XLA ops, and only the tiny per-problem results
+(scores + backpointers) return to the host, where chain reconstruction
+and the irregular selection rules (75% secondaries, shadow demotion)
+reuse the oracle's ``finalize_paths``.
+
+Semantics are bit-matched to ``ops.chaining.check_compatibility`` —
+verified by the equivalence tests in ``tests/test_chaining_jax.py``.
+Compute dtype is float64 on CPU (exact vs oracle) and float32 on TPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from muchsalsa_tpu.matching.store import EdgeMatches, MatchStore
+from muchsalsa_tpu.ops.chaining import ChainResult, EdgeContext, finalize_paths, make_edge_context
+
+_NEG = -1e30
+
+
+def _corrected(ns, ne, is_, ie, rr, vdir, ov_s, ov_e):
+    """Anchor range corrected by rRatio-projected overlap trimming."""
+    ncl = (ov_s - is_) / rr
+    ncr = (ie - ov_e) / rr
+    lo = ns + jnp.where(vdir, ncl, ncr)
+    hi = ne - jnp.where(vdir, ncr, ncl)
+    return lo, hi
+
+
+def _pair_orientation(lo, hi):
+    """All-pairs orientation codes + gap diffs for one vertex's anchors.
+
+    Returns (K, K) ``ori`` in {-2,-1,0,1,2} and ``diff`` arrays where
+    [k, l] describes anchors (k, l) — mirrors mpp.cpp:67-91.
+    """
+    a_lo, a_hi = lo[:, None], hi[:, None]
+    b_lo, b_hi = lo[None, :], hi[None, :]
+    intersect = (a_lo <= b_hi) & (b_lo <= a_hi)
+
+    fwd = (a_lo < b_lo) & (a_hi < b_hi)
+    bwd = (a_lo > b_lo) & (a_hi > b_hi)
+    ori_int = jnp.where(bwd, -2, jnp.where(fwd, 2, 0))
+    diff_int = jnp.where(
+        bwd, b_hi - a_lo + 1.0, jnp.where(fwd, a_hi - b_lo + 1.0, 0.0)
+    )
+
+    lt = a_lo < b_lo
+    ori_dis = jnp.where(lt, 1, -1)
+    diff_dis = jnp.where(lt, b_lo - a_hi + 1.0, a_lo - b_hi + 1.0)
+
+    ori = jnp.where(intersect, ori_int, ori_dis)
+    diff = jnp.where(intersect, diff_int, diff_dis)
+    return ori, diff
+
+
+def _vertex_abort(ns, ne, ori):
+    """Abort when corrected and uncorrected orientations disagree in sign
+    over intersecting uncorrected ranges (mpp.cpp:93-109)."""
+    a_s, a_e = ns[:, None], ne[:, None]
+    b_s, b_e = ns[None, :], ne[None, :]
+    intersect = (a_s <= b_e) & (b_s <= a_e)
+    fwd = (a_s < b_s) & (a_e < b_e)
+    bwd = (a_s > b_s) & (a_e > b_e)
+    uco = jnp.where(bwd, -2, jnp.where(fwd, 2, 0))
+    return intersect & (((ori < 0) & (uco >= 0)) | ((ori > 0) & (uco <= 0)))
+
+
+@partial(jax.jit, static_argnames=("wiggle_room",))
+def chain_dp_batch(batch: dict, wiggle_room: int):
+    """Compute per-problem DP scores + backpointers.
+
+    ``batch`` holds (B, K) arrays (anchor data in vStart-sorted order)
+    plus (B,) ``cls_dir`` and (B, K) ``valid`` mask.  Returns
+    (scores (B, K), backptr (B, K) int32).
+    """
+
+    def single(b):
+        v_lo, v_hi = _corrected(
+            b["v_ns"], b["v_ne"], b["v_is"], b["v_ie"], b["v_rr"], b["v_dir"],
+            b["ov_s"], b["ov_e"],
+        )
+        w_lo, w_hi = _corrected(
+            b["w_ns"], b["w_ne"], b["w_is"], b["w_ie"], b["w_rr"], b["w_dir"],
+            b["ov_s"], b["ov_e"],
+        )
+
+        o1, d1 = _pair_orientation(v_lo, v_hi)
+        o2, d2 = _pair_orientation(w_lo, w_hi)
+
+        abort = _vertex_abort(b["v_ns"], b["v_ne"], o1) | _vertex_abort(
+            b["w_ns"], b["w_ne"], o2
+        )
+
+        o2 = jnp.where(b["cls_dir"], o2, -o2)
+
+        same_nz = (o1 == o2) & (o1 != 0)
+        mx = jnp.maximum(d1, d2)
+        diff = mx - jnp.minimum(d1, d2)
+        rel = jnp.where(mx != 0, diff * 100.0 / mx, jnp.inf)
+        rule1 = same_nz & ((diff <= wiggle_room) | (rel <= 15.0))
+        rule2 = (
+            ~same_nz
+            & (((o1 < 0) & (o2 < 0)) | ((o1 > 0) & (o2 > 0)))
+            & (d1 + d2 <= wiggle_room)
+        )
+
+        valid_pair = b["valid"][:, None] & b["valid"][None, :]
+        compat = ~abort & (rule1 | rule2) & valid_pair
+
+        K = b["score"].shape[0]
+        init = jnp.where(b["valid"], b["score"], _NEG)
+        idx = jnp.arange(K)
+
+        def step(scores, l):
+            cand = jnp.where(compat[:, l] & (idx < l), scores, _NEG)
+            best = jnp.max(cand)
+            bp = jnp.where(best > _NEG, jnp.argmax(cand), -1)
+            new_l = jnp.where(best > _NEG, init[l] + best, scores[l])
+            return scores.at[l].set(new_l), bp
+
+        final, bps = jax.lax.scan(step, init, jnp.arange(K))
+        return final, bps.astype(jnp.int32)
+
+    return jax.vmap(single)(batch)
+
+
+# ---------------------------------------------------------------------------
+# host-side batch construction + result assembly
+
+
+@dataclass
+class _Problem:
+    edge_idx: int
+    direction: bool
+    srows: list[int]       # local em-row indices in vStart order
+    ctx: EdgeContext
+
+
+def chaining_phase_device(
+    graph,
+    store: MatchStore,
+    edge_matches: EdgeMatches,
+    wiggle_room: int,
+    chain_buckets: tuple[int, ...] = (8, 16, 32, 64, 128),
+    min_device_batch: int = 32,
+) -> None:
+    """Device-batched variant of ``driver.chaining_phase``.
+
+    Builds one problem per (edge, strand class), buckets them by padded
+    anchor count, runs the DP per bucket, then finishes on the host.
+    Problems larger than the biggest bucket fall back to the oracle, as
+    does any bucket smaller than ``min_device_batch``.
+    """
+    from muchsalsa_tpu.ops.chaining import max_pairwise_paths
+    from muchsalsa_tpu.ops.overlap import get_overlap
+
+    dtype = np.float64 if jax.config.read("jax_enable_x64") else np.float32
+    max_bucket = max(chain_buckets)
+
+    contexts: dict[int, EdgeContext] = {}
+    problems: list[_Problem] = []
+    edge_list = graph.edges()
+    for edge in edge_list:
+        ctx = make_edge_context(store, edge_matches, edge.em_idx)
+        contexts[edge.em_idx] = ctx
+        k = len(ctx.illu_ids)
+        for direction in (False, True):
+            rows = [i for i in range(k) if bool(ctx.em_dir[i]) == direction]
+            if not rows:
+                continue
+            v_keys = sorted(
+                (int(ctx.v_ns[r]), int(ctx.v_ne[r]), int(ctx.illu_ids[r]), r) for r in rows
+            )
+            problems.append(
+                _Problem(edge.em_idx, direction, [t[3] for t in v_keys], ctx)
+            )
+
+    # bucketize
+    buckets: dict[int, list[_Problem]] = {}
+    host_only: list[_Problem] = []
+    for p in problems:
+        k = len(p.srows)
+        if k > max_bucket:
+            host_only.append(p)
+            continue
+        bucket = next(b for b in sorted(chain_buckets) if k <= b)
+        buckets.setdefault(bucket, []).append(p)
+
+    results: dict[tuple[int, bool], list[ChainResult]] = {}
+
+    FIELDS = (
+        "v_ns", "v_ne", "v_is", "v_ie", "v_rr",
+        "w_ns", "w_ne", "w_is", "w_ie", "w_rr",
+        "ov_s", "ov_e", "score",
+    )
+
+    for bucket, plist in sorted(buckets.items()):
+        if len(plist) < min_device_batch:
+            host_only.extend(plist)
+            continue
+        B, K = len(plist), bucket
+        arrs = {f: np.zeros((B, K), dtype=dtype) for f in FIELDS}
+        arrs["v_dir"] = np.zeros((B, K), dtype=bool)
+        arrs["w_dir"] = np.zeros((B, K), dtype=bool)
+        arrs["valid"] = np.zeros((B, K), dtype=bool)
+        cls_dir = np.zeros(B, dtype=bool)
+        # padding anchors get rr=1 to avoid div-by-zero; masked anyway
+        arrs["v_rr"][:] = 1.0
+        arrs["w_rr"][:] = 1.0
+
+        for i, p in enumerate(plist):
+            c, rows = p.ctx, p.srows
+            n = len(rows)
+            sl = np.array(rows)
+            mapping = {
+                "v_ns": c.v_ns, "v_ne": c.v_ne, "v_is": c.v_is, "v_ie": c.v_ie,
+                "v_rr": c.v_rr, "w_ns": c.w_ns, "w_ne": c.w_ne, "w_is": c.w_is,
+                "w_ie": c.w_ie, "w_rr": c.w_rr, "ov_s": c.ov_start,
+                "ov_e": c.ov_end, "score": c.em_score,
+            }
+            for f, src in mapping.items():
+                arrs[f][i, :n] = src[sl]
+            arrs["v_dir"][i, :n] = c.v_dir[sl]
+            arrs["w_dir"][i, :n] = c.w_dir[sl]
+            arrs["valid"][i, :n] = True
+            cls_dir[i] = p.direction
+
+        batch = {f: jnp.asarray(a) for f, a in arrs.items()}
+        batch["cls_dir"] = jnp.asarray(cls_dir)
+        scores_dev, bps_dev = chain_dp_batch(batch, int(wiggle_room))
+        scores_np = np.asarray(scores_dev)
+        bps_np = np.asarray(bps_dev)
+
+        for i, p in enumerate(plist):
+            n = len(p.srows)
+            paths, scores = _reconstruct(scores_np[i], bps_np[i], n)
+            results[(p.edge_idx, p.direction)] = finalize_paths(
+                p.ctx, p.srows, paths, scores, p.direction
+            )
+
+    for p in host_only:
+        rows = np.array(
+            [r for r in range(len(p.ctx.illu_ids)) if bool(p.ctx.em_dir[r]) == p.direction]
+        )
+        results[(p.edge_idx, p.direction)] = max_pairwise_paths(
+            p.ctx, rows, p.direction, wiggle_room
+        )
+
+    # merge per edge exactly like chainingAndOverlaps (main.cpp:328-414)
+    for edge in edge_list:
+        ctx = contexts[edge.em_idx]
+        minus_paths = results.get((edge.em_idx, False), [])
+        plus_paths = results.get((edge.em_idx, True), [])
+
+        has_primary = any(p.primary for p in plus_paths) or any(
+            p.primary for p in minus_paths
+        )
+        if has_primary:
+            plus_paths = [p for p in plus_paths if p.primary]
+            minus_paths = [p for p in minus_paths if p.primary]
+        has_multi = any(len(p.ids) > 1 for p in plus_paths) or any(
+            len(p.ids) > 1 for p in minus_paths
+        )
+        if has_multi:
+            plus_paths = [p for p in plus_paths if len(p.ids) > 1]
+            minus_paths = [p for p in minus_paths if len(p.ids) > 1]
+
+        if len(plus_paths) + len(minus_paths) > 1:
+            edge.shadow = True
+        else:
+            path = minus_paths[0] if minus_paths else plus_paths[0]
+            edge.shadow = not path.primary
+
+        for p in minus_paths:
+            o = get_overlap(ctx, p.ids, False, p.score, p.primary)
+            if o is not None:
+                edge.orders.append(o)
+        for p in plus_paths:
+            o = get_overlap(ctx, p.ids, True, p.score, p.primary)
+            if o is not None:
+                edge.orders.append(o)
+
+
+def _reconstruct(
+    scores: np.ndarray, bps: np.ndarray, n: int
+) -> tuple[list[list[int]], list[float]]:
+    """Rebuild the reference's population paths from DP backpointers."""
+    paths: list[list[int]] = []
+    for i in range(n):
+        chain = []
+        j = i
+        while j >= 0:
+            chain.append(j)
+            j = int(bps[j])
+        chain.reverse()
+        paths.append(chain)
+    return paths, [float(s) for s in scores[:n]]

@@ -7,11 +7,18 @@ Must run before jax initialises, hence module import side effects here.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient environment pins jax to the real TPU tunnel ('axon') and
+# its plugin ignores the JAX_PLATFORMS env var, so force the platform via
+# jax.config instead.  Unit tests run on a virtual 8-device CPU mesh in
+# float64 (exact vs the host oracle).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest
