@@ -1,0 +1,47 @@
+"""Sharded (multi-chip) compute steps via shard_map.
+
+Replaces the reference's job fan-outs with SPMD over a device mesh:
+chaining problems are data-parallel over the batch axis, and global
+statistics (edge survival counts, score mass — the quantities the
+reference accumulates under mutexes, e.g. ``main.cpp:180``) are merged
+with ``psum`` collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from muchsalsa_tpu.ops.chaining_jax import chain_dp_batch
+
+
+def sharded_chain_dp(batch: dict, wiggle_room: int, mesh: Mesh, axis: str = "reads"):
+    """Run the chaining DP data-parallel over the mesh.
+
+    ``batch`` arrays are (B, K) with B divisible by the mesh size.
+    Returns (scores, backptrs, stats) where ``stats`` is the globally
+    psum-merged [n_problems, total_best_score] pair — the cross-chip
+    reduction that replaces the reference's mutex-guarded accumulation.
+    """
+    in_spec = {k: P(axis) if v.ndim >= 1 else P() for k, v in batch.items()}
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(in_spec,),
+        out_specs=(P(axis), P(axis), P()),
+    )
+    def step(local_batch):
+        scores, bps = chain_dp_batch(local_batch, wiggle_room)
+        best = jnp.max(jnp.where(local_batch["valid"], scores, 0.0), axis=1)
+        local_stats = jnp.stack(
+            [jnp.sum(jnp.any(local_batch["valid"], axis=1)).astype(best.dtype), jnp.sum(best)]
+        )
+        stats = jax.lax.psum(local_stats, axis)
+        return scores, bps, stats
+
+    return jax.jit(step)(batch)

@@ -1,0 +1,58 @@
+"""Sharded chaining over the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from muchsalsa_tpu.ops.chaining_jax import chain_dp_batch
+from muchsalsa_tpu.parallel.mesh import make_mesh
+from muchsalsa_tpu.parallel.sharded import sharded_chain_dp
+
+
+def make_batch(rng, B, K):
+    """Random colinear-ish batch; values only need to be well-formed."""
+    arrs = {}
+    ns = rng.integers(0, 5000, (B, K)).astype(np.float64)
+    span = rng.integers(400, 1200, (B, K)).astype(np.float64)
+    arrs["v_ns"], arrs["v_ne"] = ns, ns + span
+    ns2 = rng.integers(0, 5000, (B, K)).astype(np.float64)
+    arrs["w_ns"], arrs["w_ne"] = ns2, ns2 + span
+    is_ = rng.integers(0, 200, (B, K)).astype(np.float64)
+    arrs["v_is"], arrs["v_ie"] = is_, is_ + span
+    arrs["w_is"], arrs["w_ie"] = is_, is_ + span
+    arrs["ov_s"], arrs["ov_e"] = is_ + 10, is_ + span - 10
+    arrs["v_rr"] = np.ones((B, K))
+    arrs["w_rr"] = np.ones((B, K))
+    arrs["score"] = rng.integers(400, 1500, (B, K)).astype(np.float64)
+    arrs["v_dir"] = rng.integers(0, 2, (B, K)).astype(bool)
+    arrs["w_dir"] = rng.integers(0, 2, (B, K)).astype(bool)
+    arrs["valid"] = np.ones((B, K), dtype=bool)
+    batch = {k: jnp.asarray(v) for k, v in arrs.items()}
+    batch["cls_dir"] = jnp.asarray(np.ones(B, dtype=bool))
+    return batch
+
+
+def test_sharded_matches_single_device(rng):
+    assert len(jax.devices()) == 8
+    B, K = 16, 8
+    batch = make_batch(rng, B, K)
+
+    scores_ref, bps_ref = chain_dp_batch(batch, 300)
+
+    mesh = make_mesh()
+    scores, bps, stats = sharded_chain_dp(batch, 300, mesh)
+
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(scores_ref))
+    np.testing.assert_array_equal(np.asarray(bps), np.asarray(bps_ref))
+    # psum-merged stats cover the full batch
+    assert int(np.asarray(stats)[0]) == B
+
+
+def test_sharded_smaller_mesh(rng):
+    B, K = 8, 8
+    batch = make_batch(rng, B, K)
+    mesh = make_mesh(4)
+    scores, bps, stats = sharded_chain_dp(batch, 300, mesh)
+    assert scores.shape == (B, K)
+    assert int(np.asarray(stats)[0]) == B
