@@ -1,0 +1,225 @@
+"""Minimizer-index mapper: the native replacement for the pipeline's
+minimap2 anchoring stages.
+
+Reference counterpart: the three ``minimap2 -k15 -DP --dual=yes
+--no-long-join -w5 -m100 -g10000 -r2000`` invocations in
+``pipeline/pipeline.sh:163,169,175`` that map unitigs (query, PAF col 0)
+onto nanopore reads (target, cols 5-8).  Output is a PAF with exactly
+the columns the core parser consumes (``BlastFileReader.cpp:52-60``).
+
+Method:
+1. index: minimizers of every unitig -> sorted (hash, unitig, pos,
+   strand) table with CSR buckets; hashes occurring more than
+   ``max_occ`` times are dropped (repeat masking, minimap2's -f
+   analog);
+2. per read: minimizer lookup -> anchors (unitig, strand, qpos, tpos);
+3. chaining: per (unitig, relative strand), anchors are grouped by
+   diagonal (tpos - qpos, or tpos + qpos for reverse hits) within
+   ``bandwidth``; each group is one candidate chain;
+4. scoring: ``matches`` = bases of the read covered by the union of
+   anchor k-mer intervals (merged, so overlapping seeds don't double
+   count);
+5. chains with ``matches >= min_chain_score`` and ``min_anchor_count``
+   anchors emit PAF rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from muchsalsa_tpu.config import MapperConfig
+from muchsalsa_tpu.io.fasta import SequenceStore
+from muchsalsa_tpu.ops.minimizer import minimizers
+from muchsalsa_tpu.utils.seq import encode_2bit
+
+
+@dataclass
+class MinimizerIndex:
+    hashes: np.ndarray      # sorted uint32
+    offsets: np.ndarray     # CSR into entries, len = len(uniq)+1
+    entry_unitig: np.ndarray  # int32
+    entry_pos: np.ndarray     # int32
+    entry_strand: np.ndarray  # bool
+    unitig_ids: list[int]
+    unitig_lengths: dict[int, int]
+    k: int
+    w: int
+
+    @staticmethod
+    def build(store: SequenceStore, cfg: MapperConfig) -> "MinimizerIndex":
+        all_h, all_u, all_p, all_s = [], [], [], []
+        lengths = {}
+        for uid, seq in store.items():
+            lengths[uid] = len(seq)
+            pos, h, strand = minimizers(seq, cfg.k, cfg.w)
+            all_h.append(h)
+            all_p.append(pos.astype(np.int32))
+            all_s.append(strand)
+            all_u.append(np.full(len(pos), uid, dtype=np.int32))
+
+        if all_h:
+            h = np.concatenate(all_h)
+            u = np.concatenate(all_u)
+            p = np.concatenate(all_p)
+            s = np.concatenate(all_s)
+        else:
+            h = np.zeros(0, dtype=np.uint32)
+            u = p = np.zeros(0, dtype=np.int32)
+            s = np.zeros(0, dtype=bool)
+
+        order = np.argsort(h, kind="stable")
+        h, u, p, s = h[order], u[order], p[order], s[order]
+        uniq, starts = np.unique(h, return_index=True)
+        offsets = np.concatenate([starts, [len(h)]]).astype(np.int64)
+
+        # repeat-mask: drop buckets with more than max_occ entries
+        counts = np.diff(offsets)
+        keep = counts <= cfg.max_occ
+        if not np.all(keep):
+            keep_rows = np.zeros(len(h), dtype=bool)
+            for i in np.nonzero(keep)[0]:
+                keep_rows[offsets[i] : offsets[i + 1]] = True
+            h, u, p, s = h[keep_rows], u[keep_rows], p[keep_rows], s[keep_rows]
+            uniq, starts = np.unique(h, return_index=True)
+            offsets = np.concatenate([starts, [len(h)]]).astype(np.int64)
+
+        return MinimizerIndex(
+            hashes=uniq,
+            offsets=offsets,
+            entry_unitig=u,
+            entry_pos=p,
+            entry_strand=s,
+            unitig_ids=store.ids(),
+            unitig_lengths=lengths,
+            k=cfg.k,
+            w=cfg.w,
+        )
+
+
+@dataclass
+class Mapping:
+    unitig: int
+    strand: bool       # True = '+'
+    q_start: int       # unitig coords, end exclusive
+    q_end: int
+    t_start: int       # read coords
+    t_end: int
+    matches: int
+    n_anchors: int
+
+
+def _covered(starts: np.ndarray, k: int) -> int:
+    """Total bases covered by the union of [s, s+k) intervals."""
+    if len(starts) == 0:
+        return 0
+    s = np.sort(starts)
+    gaps = np.diff(s)
+    return int(k + np.sum(np.minimum(gaps, k)))
+
+
+def map_read(index: MinimizerIndex, read_seq: bytes, cfg: MapperConfig) -> list[Mapping]:
+    codes = encode_2bit(read_seq)
+    pos, h, strand = minimizers(codes, index.k, index.w)
+    if len(pos) == 0:
+        return []
+
+    # bucket lookup
+    loc = np.searchsorted(index.hashes, h)
+    loc = np.minimum(loc, max(len(index.hashes) - 1, 0))
+    hit = len(index.hashes) > 0
+    found = index.hashes[loc] == h if hit else np.zeros(len(h), dtype=bool)
+
+    anchors_u, anchors_q, anchors_t, anchors_rel = [], [], [], []
+    for i in np.nonzero(found)[0]:
+        lo, hi = index.offsets[loc[i]], index.offsets[loc[i] + 1]
+        sl = slice(lo, hi)
+        n = hi - lo
+        anchors_u.append(index.entry_unitig[sl])
+        anchors_q.append(index.entry_pos[sl])
+        anchors_t.append(np.full(n, pos[i], dtype=np.int64))
+        anchors_rel.append(index.entry_strand[sl] == strand[i])
+
+    if not anchors_u:
+        return []
+
+    au = np.concatenate(anchors_u)
+    aq = np.concatenate(anchors_q).astype(np.int64)
+    at = np.concatenate(anchors_t)
+    arel = np.concatenate(anchors_rel)
+
+    k = index.k
+    results: list[Mapping] = []
+
+    # group by (unitig, relative strand)
+    key = au.astype(np.int64) * 2 + arel
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    bounds = np.nonzero(np.diff(key_s))[0] + 1
+    group_starts = np.concatenate([[0], bounds])
+    group_ends = np.concatenate([bounds, [len(key_s)]])
+
+    for gs, ge in zip(group_starts, group_ends):
+        rows = order[gs:ge]
+        uid = int(au[rows[0]])
+        rel = bool(arel[rows[0]])
+        q = aq[rows]
+        t = at[rows]
+        diag = t - q if rel else t + q
+        d_order = np.argsort(diag, kind="stable")
+        q, t, diag = q[d_order], t[d_order], diag[d_order]
+        # split into diagonal bands
+        splits = np.nonzero(np.diff(diag) > cfg.bandwidth)[0] + 1
+        seg_starts = np.concatenate([[0], splits])
+        seg_ends = np.concatenate([splits, [len(diag)]])
+        for ss, se in zip(seg_starts, seg_ends):
+            if se - ss < cfg.min_anchor_count:
+                continue
+            qs_, ts_ = q[ss:se], t[ss:se]
+            matches = _covered(ts_, k)
+            if matches < cfg.min_chain_score:
+                continue
+            results.append(
+                Mapping(
+                    unitig=uid,
+                    strand=rel,
+                    q_start=int(qs_.min()),
+                    q_end=int(qs_.max()) + k,
+                    t_start=int(ts_.min()),
+                    t_end=int(ts_.max()) + k,
+                    matches=matches,
+                    n_anchors=int(se - ss),
+                )
+            )
+
+    return results
+
+
+def map_all(
+    index: MinimizerIndex,
+    reads: SequenceStore,
+    cfg: MapperConfig,
+    unitig_names=None,
+    read_names=None,
+) -> list[str]:
+    """Map every read; emit PAF lines (query = unitig, target = read)."""
+    lines: list[str] = []
+    uname = unitig_names or (lambda uid: f"u{uid}")
+    rname = read_names or (lambda rid: f"r{rid}")
+    for rid, seq in reads.items():
+        tlen = len(seq)
+        for m in map_read(index, seq, cfg):
+            qlen = index.unitig_lengths[m.unitig]
+            block = max(m.q_end - m.q_start, m.t_end - m.t_start)
+            lines.append(
+                f"{uname(m.unitig)}\t{qlen}\t{m.q_start}\t{m.q_end}\t"
+                f"{'+' if m.strand else '-'}\t{rname(rid)}\t{tlen}\t"
+                f"{m.t_start}\t{m.t_end}\t{m.matches}\t{block}\t60"
+            )
+    return lines
+
+
+def write_paf(lines: list[str], path: str | Path) -> None:
+    Path(path).write_text("\n".join(lines) + ("\n" if lines else ""))

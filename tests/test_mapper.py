@@ -1,0 +1,147 @@
+"""Minimizer extraction + mapper tests (native minimap2-stage replacement)."""
+
+import numpy as np
+import pytest
+
+from muchsalsa_tpu.config import MapperConfig
+from muchsalsa_tpu.io.fasta import SequenceStore
+from muchsalsa_tpu.ops.minimizer import fmix32, kmer_values, minimizers
+from muchsalsa_tpu.pipeline.mapper import MinimizerIndex, map_read, map_all
+from muchsalsa_tpu.testing.simulate import random_genome, simulate
+from muchsalsa_tpu.utils.seq import encode_2bit, reverse_complement
+
+
+def brute_force_kmers(seq: bytes, k: int):
+    vals = []
+    enc = {65: 0, 67: 1, 71: 2, 84: 3}
+    for i in range(len(seq) - k + 1):
+        window = seq[i : i + k]
+        if any(b not in enc for b in window):
+            vals.append(None)
+            continue
+        v = 0
+        for b in window:
+            v = (v << 2) | enc[b]
+        vals.append(v)
+    return vals
+
+
+def test_kmer_values_against_bruteforce():
+    rng = np.random.default_rng(3)
+    seq = random_genome(rng, 200)
+    k = 7
+    fwd, rc, valid = kmer_values(encode_2bit(seq), k)
+    expected = brute_force_kmers(seq, k)
+    assert len(fwd) == len(expected)
+    for i, e in enumerate(expected):
+        assert valid[i]
+        assert int(fwd[i]) == e
+    # rc values equal forward values of the reverse complement sequence
+    rc_seq = reverse_complement(seq)
+    fwd_rc, _, _ = kmer_values(encode_2bit(rc_seq), k)
+    np.testing.assert_array_equal(rc[::-1], fwd_rc)
+
+
+def test_kmer_values_invalid_bases():
+    fwd, rc, valid = kmer_values(encode_2bit(b"ACGTNACGT"), 4)
+    # windows touching the N (positions 1..4) are invalid
+    assert list(valid) == [True, False, False, False, False, True]
+
+
+def test_minimizers_strand_symmetry():
+    rng = np.random.default_rng(5)
+    seq = random_genome(rng, 500)
+    p1, h1, s1 = minimizers(seq, 15, 5)
+    p2, h2, s2 = minimizers(reverse_complement(seq), 15, 5)
+    # canonical hashing: same hash multiset on both strands
+    assert sorted(h1.tolist()) == sorted(h2.tolist())
+
+
+def test_fmix32_deterministic():
+    x = np.array([0, 1, 2, 0xFFFFFFFF], dtype=np.uint32)
+    out1 = fmix32(x)
+    out2 = fmix32(x)
+    np.testing.assert_array_equal(out1, out2)
+    assert len(set(out1.tolist())) == 4  # no trivial collisions
+
+
+def test_map_read_exact_substring():
+    rng = np.random.default_rng(11)
+    genome = random_genome(rng, 10_000)
+    store = SequenceStore()
+    store.add("u0", genome[2000:3200])
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+
+    read = genome[1000:6000]
+    maps = map_read(index, read, cfg)
+    assert len(maps) == 1
+    m = maps[0]
+    assert m.strand
+    # unitig sits at read offset 1000..2200
+    assert abs(m.t_start - 1000) < 40
+    assert abs(m.t_end - 2200) < 40
+    assert m.q_start < 40 and m.q_end > 1160
+    assert m.matches > 1000
+
+
+def test_map_read_reverse_strand():
+    rng = np.random.default_rng(13)
+    genome = random_genome(rng, 8_000)
+    store = SequenceStore()
+    store.add("u0", genome[3000:4200])
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+
+    read = reverse_complement(genome[1000:6000])
+    maps = map_read(index, read, cfg)
+    assert len(maps) == 1
+    m = maps[0]
+    assert not m.strand
+    # in fwd-read coords the unitig occupies [6000-4200, 6000-3000) - 1000
+    assert abs(m.t_start - 1800) < 40
+    assert abs(m.t_end - 3000) < 40
+    assert m.matches > 1000
+
+
+def test_map_read_no_hit():
+    rng = np.random.default_rng(17)
+    store = SequenceStore()
+    store.add("u0", random_genome(rng, 1200))
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+    other = random_genome(np.random.default_rng(999), 3000)
+    assert map_read(index, other, cfg) == []
+
+
+def test_map_all_matches_ground_truth_pairs():
+    rng = np.random.default_rng(23)
+    sim = simulate(rng, genome_length=30_000, coverage=8.0, read_length=5_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    reads = SequenceStore()
+    for name, seq in sim.read_records():
+        reads.add(name, seq)
+
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+    lines = map_all(
+        index, reads, cfg,
+        unitig_names=lambda u: unitigs.registry.name(u),
+        read_names=lambda r: reads.registry.name(r),
+    )
+
+    ours = set()
+    for line in lines:
+        c = line.split("\t")
+        if int(c[9]) >= 450:
+            ours.add((c[0], c[5], c[4]))
+    truth = set()
+    for line in sim.paf_lines:
+        c = line.split("\t")
+        if int(c[9]) >= 600:
+            truth.add((c[0], c[5], c[4]))
+    # every confident true overlap is recovered with the right strand
+    missing = truth - ours
+    assert not missing, f"mapper missed {len(missing)} of {len(truth)}: {sorted(missing)[:5]}"
