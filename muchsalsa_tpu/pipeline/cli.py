@@ -1,0 +1,111 @@
+"""Command-line interface.
+
+Two entry points mirroring the reference's two layers:
+
+- ``core``: the muchsalsa binary's positional CLI
+  (``src/Application.cpp:32-39``: ``<contigs.paf> <unitigs.fa>
+  <nanopore.fa> <outdir> [threads] [wiggleRoom]`` — threads is accepted
+  and ignored; parallelism is the device mesh);
+- ``full``: the pipeline.sh driver (``pipeline/pipeline.sh:38-57``)
+  with every external tool replaced by native stages;
+- ``map``: standalone access to the native mapper (minimap2-stage
+  replacement), useful for bit-compat cross-checking.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from muchsalsa_tpu.config import Config, DEFAULT_CONFIG
+
+
+def _load_config(path: str | None) -> Config:
+    if path:
+        return Config.load(path)
+    return DEFAULT_CONFIG
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="muchsalsa-tpu")
+    parser.add_argument("--config", help="JSON config file", default=None)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    core = sub.add_parser("core", help="core assembly (reference muchsalsa CLI)")
+    core.add_argument("paf")
+    core.add_argument("unitigs")
+    core.add_argument("nanopore")
+    core.add_argument("outdir")
+    core.add_argument("threads", nargs="?", default=None, help="ignored (device mesh)")
+    core.add_argument("wiggle_room", nargs="?", type=int, default=None)
+
+    full = sub.add_parser("full", help="full pipeline from raw reads")
+    full.add_argument("--illumina1", required=True)
+    full.add_argument("--illumina2", default=None)
+    full.add_argument("--nanopore", required=True)
+    full.add_argument("--out", required=True)
+    full.add_argument("--kmer-filter-k", type=int, default=None)
+    full.add_argument("--unitig-k", type=int, default=31)
+
+    mp = sub.add_parser("map", help="native minimizer mapper (PAF out)")
+    mp.add_argument("query_fa", help="unitigs/anchors (PAF query)")
+    mp.add_argument("target_fa", help="long reads (PAF target)")
+    mp.add_argument("out_paf")
+
+    cfg_dump = sub.add_parser("config", help="print the default config JSON")
+
+    args = parser.parse_args(argv)
+    config = _load_config(args.config)
+
+    if args.command == "config":
+        print(config.to_json())
+        return 0
+
+    if args.command == "core":
+        if args.wiggle_room is not None:
+            graph = dataclasses.replace(config.graph, wiggle_room=args.wiggle_room)
+            config = dataclasses.replace(config, graph=graph)
+        from muchsalsa_tpu.assemble.driver import assemble
+
+        result = assemble(args.paf, args.unitigs, args.nanopore, args.outdir, config)
+        print("Finished assembly")
+        print(f"components={result['components']} paths={result['paths']}")
+        return 0
+
+    if args.command == "full":
+        from muchsalsa_tpu.pipeline.full import run_full_pipeline
+
+        final = run_full_pipeline(
+            args.illumina1,
+            args.illumina2,
+            args.nanopore,
+            args.out,
+            config,
+            kmer_filter_k=args.kmer_filter_k,
+            unitig_k=args.unitig_k,
+        )
+        print(f"Assembly written to {final}")
+        return 0
+
+    if args.command == "map":
+        from muchsalsa_tpu.io.fasta import SequenceStore
+        from muchsalsa_tpu.pipeline.mapper import MinimizerIndex, map_all, write_paf
+
+        unitigs = SequenceStore.from_file(args.query_fa)
+        reads = SequenceStore.from_file(args.target_fa)
+        index = MinimizerIndex.build(unitigs, config.mapper)
+        lines = map_all(
+            index, reads, config.mapper,
+            unitig_names=lambda u: unitigs.registry.name(u),
+            read_names=lambda r: reads.registry.name(r),
+        )
+        write_paf(lines, args.out_paf)
+        print(f"{len(lines)} mappings written to {args.out_paf}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,195 @@
+"""Read scrubbing: trim long reads to their anchor/overlap-supported spans.
+
+Reference counterpart: ``pipeline/scrubber_bfs.py`` — the reference's
+out-of-core streaming mechanism (SURVEY.md §2.4 #35): a graph links
+reads sharing an anchor; bounded BFS subsets (<= ``subset_size`` nodes)
+are all-vs-all overlapped (there: an external ``minimap2 -x ava-ont``
+fork; here: the native minimizer mapper over the subset), overlap spans
+merge into each read's covered intervals, and interior ("center") nodes
+emit their covered spans (ends trimmed) and leave the graph.
+
+Semantics mirrored: >= 500bp hits only, first anchor hit per
+(anchor, read) pair, same-direction extension-merge within 500bp
+(``scrubber_bfs.py:204-240``), span trim to [200, len-200], min-id BFS
+starts.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+from muchsalsa_tpu.config import MapperConfig, ScrubConfig
+from muchsalsa_tpu.io.fasta import SequenceStore
+from muchsalsa_tpu.pipeline.mapper import MinimizerIndex, map_read
+
+
+@dataclass
+class _Node:
+    length: int
+    illu_to_ranges: dict[str, tuple[int, int]] = field(default_factory=dict)
+    seq_to_ranges: dict[str, tuple[int, int, str]] = field(default_factory=dict)
+
+
+def build_anchor_graph(paf_lines, min_hit: int = 500):
+    """Anchor-sharing read graph (scrubber_bfs.py:57-114)."""
+    nodes: dict[str, _Node] = {}
+    adj: dict[str, set[str]] = {}
+    prev_hit_id = ""
+    chunk_nodes: list[str] = []
+
+    for line in paf_lines:
+        if not line:
+            continue
+        c = line.split("\t")
+        id_1, id_2 = c[0], c[5]
+        len_2 = int(c[6])
+        s_1, e_1 = int(c[2]), int(c[3])
+        s_2, e_2 = int(c[7]), int(c[8])
+
+        if e_1 - s_1 < min_hit:
+            continue
+
+        if id_2 not in nodes:
+            nodes[id_2] = _Node(length=len_2)
+            adj[id_2] = set()
+        if id_1 in nodes[id_2].illu_to_ranges:
+            continue
+        nodes[id_2].illu_to_ranges[id_1] = (s_2, e_2)
+
+        if id_1 != prev_hit_id:
+            chunk_nodes = []
+            prev_hit_id = id_1
+        for prev in chunk_nodes:
+            adj[prev].add(id_2)
+            adj[id_2].add(prev)
+        chunk_nodes.append(id_2)
+
+    return nodes, adj
+
+
+def _merge_ranges(node: _Node, other: str, s: int, e: int, direction: str, ext: int):
+    cur = node.seq_to_ranges.get(other)
+    if cur is None:
+        node.seq_to_ranges[other] = (s, e, direction)
+        return
+    cs, ce, d = cur
+    if direction == d and (abs(cs - e) < ext or abs(s - ce) < ext):
+        node.seq_to_ranges[other] = (min(s, cs), max(e, ce), direction)
+
+
+def _covered_spans(node: _Node) -> list[tuple[int, int]]:
+    join = [(s, e) for (s, e, _d) in node.seq_to_ranges.values()]
+    join += list(node.illu_to_ranges.values())
+    join.sort()
+    covered: list[tuple[int, int]] = []
+    for s, e in join:
+        if covered and covered[-1][0] <= e and s <= covered[-1][1]:
+            covered[-1] = (min(s, covered[-1][0]), max(e, covered[-1][1]))
+        else:
+            covered.append((s, e))
+    return covered
+
+
+def scrub_reads(
+    paf_lines: list[str],
+    reads: SequenceStore,
+    scrub_cfg: ScrubConfig | None = None,
+    mapper_cfg: MapperConfig | None = None,
+) -> list[tuple[str, bytes]]:
+    """Returns scrubbed read records ``(name, sequence)``."""
+    scrub_cfg = scrub_cfg or ScrubConfig()
+    mapper_cfg = mapper_cfg or MapperConfig()
+
+    nodes, adj = build_anchor_graph(paf_lines, scrub_cfg.min_hit_length)
+    out: list[tuple[str, bytes]] = []
+    remaining = set(nodes)
+
+    bfs_subset: set[str] = set()
+    while remaining:
+        possible = remaining - bfs_subset if bfs_subset else remaining
+        if not possible:
+            possible = remaining
+        start = min(possible)
+
+        # BFS until subset_size nodes collected
+        queue = deque([start])
+        seen = {start} | bfs_subset
+        order = [start]
+        while queue and len(bfs_subset) + len(order) < 10 * scrub_cfg.subset_size:
+            cur = queue.popleft()
+            for nb in sorted(adj.get(cur, ())):
+                if nb in seen or nb not in remaining:
+                    continue
+                seen.add(nb)
+                order.append(nb)
+                queue.append(nb)
+
+        for node in order:
+            if len(bfs_subset) >= scrub_cfg.subset_size:
+                break
+            bfs_subset.add(node)
+
+        if len(bfs_subset) < scrub_cfg.subset_size and len(remaining) > len(bfs_subset):
+            continue  # merge small component into the next subset
+
+        _scrub_subset(bfs_subset, nodes, adj, remaining, reads, out, scrub_cfg, mapper_cfg)
+        bfs_subset.clear()
+
+    return out
+
+
+def _scrub_subset(subset, nodes, adj, remaining, reads, out, scrub_cfg, mapper_cfg):
+    # center = members with no neighbor outside the subset
+    center = set(subset)
+    for u in subset:
+        for v in adj.get(u, ()):
+            if v in remaining and v not in subset:
+                center.discard(u)
+                break
+
+    # all-vs-all overlap of the subset with the native mapper
+    subset_store = SequenceStore()
+    for name in sorted(subset):
+        rid = reads.registry.get(name)
+        if rid is not None and rid in reads:
+            subset_store.add(name, reads.sequence(rid))
+    index = MinimizerIndex.build(subset_store, mapper_cfg)
+
+    for rid, seq in subset_store.items():
+        rname = subset_store.registry.name(rid)
+        for m in map_read(index, seq, mapper_cfg):
+            oname = subset_store.registry.name(m.unitig)
+            if oname == rname:
+                continue
+            if m.q_end - m.q_start < scrub_cfg.min_hit_length:
+                continue
+            d = "+" if m.strand else "-"
+            # id_1 = indexed read (query coords), id_2 = mapped read
+            _merge_ranges(
+                nodes[oname], rname, m.q_start, m.q_end, d, scrub_cfg.ext_merge_distance
+            )
+            _merge_ranges(
+                nodes[rname], oname, m.t_start, m.t_end, d, scrub_cfg.ext_merge_distance
+            )
+
+    trim = scrub_cfg.end_trim
+    for name in sorted(center):
+        node = nodes[name]
+        rid = reads.registry.get(name)
+        if rid is None or rid not in reads:
+            continue
+        seq = reads.sequence(rid)
+        for i, (cs, ce) in enumerate(_covered_spans(node)):
+            lo = max(cs, trim)
+            hi = min(ce, node.length - trim)
+            # reference slices [lo, hi] inclusive via find_sequence_r
+            if hi >= lo:
+                out.append((f"{name}_{i}", seq[lo : hi + 1]))
+
+    for name in center:
+        remaining.discard(name)
+        subsetless = adj.pop(name, set())
+        for v in subsetless:
+            adj.get(v, set()).discard(name)
+    subset -= center

@@ -74,6 +74,27 @@ def simulate(
     return sim
 
 
+def illumina_pairs(
+    rng: np.random.Generator,
+    genome: bytes,
+    coverage: float = 30.0,
+    read_length: int = 150,
+    insert: int = 350,
+) -> list[tuple[bytes, bytes]]:
+    """Error-free paired short reads (R2 is the reverse complement of the
+    insert's far end, like real FR pairs)."""
+    n_pairs = max(1, int(coverage * len(genome) / (2 * read_length)))
+    pairs = []
+    hi = max(1, len(genome) - insert)
+    for _ in range(n_pairs):
+        start = int(rng.integers(0, hi))
+        frag = genome[start : start + insert]
+        r1 = frag[:read_length]
+        r2 = reverse_complement(frag[-read_length:])
+        pairs.append((r1, r2))
+    return pairs
+
+
 def _ground_truth_paf(sim: SimulatedAssembly, min_overlap: int) -> list[str]:
     lines = []
     for uname, us, ue in sim.unitigs:

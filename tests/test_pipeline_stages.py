@@ -1,0 +1,151 @@
+"""K-mer filter, de Bruijn unitigs, unitig filter, scrubber."""
+
+import numpy as np
+
+from muchsalsa_tpu.config import MapperConfig, ScrubConfig
+from muchsalsa_tpu.io.fasta import SequenceStore
+from muchsalsa_tpu.pipeline.dbg import build_unitigs
+from muchsalsa_tpu.pipeline.kmer import (
+    abundance_threshold,
+    count_kmers,
+    filter_read_pairs,
+    high_abundance_kmers,
+    histogram,
+    kmer_values64,
+)
+from muchsalsa_tpu.pipeline.mapper import MinimizerIndex, map_all
+from muchsalsa_tpu.pipeline.scrubber import build_anchor_graph, scrub_reads
+from muchsalsa_tpu.pipeline.unitig_filter import filter_unitigs
+from muchsalsa_tpu.testing.simulate import random_genome
+from muchsalsa_tpu.utils.seq import encode_2bit, reverse_complement
+
+
+def test_kmer_values64_canonical():
+    vals, valid = kmer_values64(encode_2bit(b"ACGTA"), 3)
+    vals_rc, _ = kmer_values64(encode_2bit(reverse_complement(b"ACGTA")), 3)
+    assert sorted(vals.tolist()) == sorted(vals_rc.tolist())
+    assert valid.all()
+
+
+def test_count_and_threshold():
+    # sequence with one highly repeated k-mer region
+    seqs = [b"ACGTACGTACGTACGTACGT", b"TTTTTTTTTTTTTTTT"]
+    uniq, counts = count_kmers(seqs, 5)
+    h = histogram(counts)
+    assert sum(h.values()) == len(uniq)
+    th = abundance_threshold(h)
+    assert th >= 0
+    bad = high_abundance_kmers(uniq, counts, max(int(counts.max()), 2))
+    assert len(bad) >= 1
+
+
+def test_filter_read_pairs():
+    rng = np.random.default_rng(0)
+    clean = random_genome(rng, 100)
+    dirty = b"A" * 50  # poly-A k-mer will be "bad"
+    uniq, counts = count_kmers([dirty] * 5, 25)
+    bad = high_abundance_kmers(uniq, counts, 2)
+    kept = filter_read_pairs([(clean, clean), (dirty, clean)], bad, 25)
+    assert (clean, clean) in kept
+    assert (dirty, clean) not in kept
+
+
+def test_dbg_unitigs_reconstruct_genome():
+    rng = np.random.default_rng(42)
+    genome = random_genome(rng, 3000)
+    # error-free 150bp reads tiling the genome densely on both strands
+    reads = []
+    for start in range(0, len(genome) - 150, 25):
+        r = genome[start : start + 150]
+        reads.append(r if (start // 25) % 2 == 0 else reverse_complement(r))
+    unitigs = build_unitigs(reads * 2, k=31, min_count=2, min_length=500)
+    assert unitigs, "no unitigs built"
+    ref = genome + b"#" + reverse_complement(genome)
+    total = 0
+    for u in unitigs:
+        assert u in ref or reverse_complement(u) in ref, "unitig not genomic"
+        total += len(u)
+    assert total > 0.8 * len(genome)
+
+
+def paf_line(q, qlen, qs, qe, t, tlen, ts, te, strand="+", nm=600):
+    return f"{q}\t{qlen}\t{qs}\t{qe}\t{strand}\t{t}\t{tlen}\t{ts}\t{te}\t{nm}\t{nm}\t60"
+
+
+def test_filter_unitigs_passthrough_and_cut():
+    # eight normal unitigs (coverage 2); u_rep has a high-coverage peak
+    lines = []
+    for u in range(8):
+        for i in range(2):
+            lines.append(paf_line(f"u_norm{u}", 3000, 0, 3000, f"r{u}_{i}", 9000, 0, 3000))
+    for i in range(50):
+        lines.append(paf_line("u_rep", 4000, 1500, 2500, f"q{i}", 9000, 0, 1000))
+    for i in range(2):
+        lines.append(paf_line("u_rep", 4000, 0, 4000, f"s{i}", 9000, 0, 4000))
+    seqs = {f"u_norm{u}": b"A" * 3000 for u in range(8)}
+    seqs["u_rep"] = b"C" * 4000
+    out, stats = filter_unitigs(lines, seqs)
+    names = [n.split()[0] for n, _ in out]
+    assert "u_norm0" in names
+    assert stats.outlier_count == 1
+    # the repeat unitig is cut into flank fragments below the peak
+    frags = [(n, s) for n, s in out if n.startswith("u_rep_")]
+    assert len(frags) >= 1
+    for n, s in frags:
+        assert len(s) >= 500
+
+
+def test_anchor_graph_edges():
+    lines = [
+        paf_line("u1", 2000, 0, 1000, "rA", 8000, 0, 1000),
+        paf_line("u1", 2000, 0, 1000, "rB", 8000, 500, 1500),
+        paf_line("u2", 2000, 0, 1000, "rC", 8000, 0, 1000),
+        paf_line("u2", 2000, 0, 300, "rD", 8000, 0, 300),  # < 500bp hit: dropped
+    ]
+    nodes, adj = build_anchor_graph(lines)
+    assert set(nodes) == {"rA", "rB", "rC"}
+    assert "rB" in adj["rA"] and "rA" in adj["rB"]
+    assert not adj["rC"]
+
+
+def test_scrub_reads_trims_to_covered_spans():
+    rng = np.random.default_rng(7)
+    genome = random_genome(rng, 12_000)
+    reads = SequenceStore()
+    # three overlapping reads; junk tails on read B beyond any coverage
+    a = genome[0:5000]
+    b = genome[3000:9000] + random_genome(np.random.default_rng(1), 3000)
+    c = genome[7000:12000]
+    reads.add("rA", a)
+    reads.add("rB", b)
+    reads.add("rC", c)
+
+    # anchors: unitigs at known positions, PAF in ground-truth coords
+    lines = [
+        paf_line("u1", 1000, 0, 1000, "rA", len(a), 3500, 4500),
+        paf_line("u1", 1000, 0, 1000, "rB", len(b), 500, 1500),
+        paf_line("u2", 1000, 0, 1000, "rB", len(b), 4500, 5500),
+        paf_line("u2", 1000, 0, 1000, "rC", len(c), 500, 1500),
+    ]
+    out = scrub_reads(lines, reads, ScrubConfig(subset_size=10), MapperConfig())
+    names = {n.split("_")[0] for n, _ in out}
+    assert names == {"rA", "rB", "rC"}
+    for name, seq in out:
+        if name.startswith("rB"):
+            # junk tail (last 3000bp of B) must be trimmed away
+            assert len(seq) < len(b) - 2000
+            assert seq in genome or reverse_complement(seq) in genome
+
+
+def test_scrubbed_output_feeds_mapper():
+    rng = np.random.default_rng(3)
+    genome = random_genome(rng, 10_000)
+    reads = SequenceStore()
+    reads.add("r0", genome[0:6000])
+    reads.add("r1", genome[4000:10000])
+    lines = [
+        paf_line("u1", 1000, 0, 1000, "r0", 6000, 4200, 5200),
+        paf_line("u1", 1000, 0, 1000, "r1", 6000, 200, 1200),
+    ]
+    out = scrub_reads(lines, reads, ScrubConfig(subset_size=5), MapperConfig())
+    assert out
