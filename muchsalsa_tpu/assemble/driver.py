@@ -38,7 +38,7 @@ from muchsalsa_tpu.io.paf import read_paf
 from muchsalsa_tpu.io.registry import Registry
 from muchsalsa_tpu.matching.edges import build_edges
 from muchsalsa_tpu.matching.store import EdgeMatches, MatchStore
-from muchsalsa_tpu.ops.chaining import make_edge_context, max_pairwise_paths
+from muchsalsa_tpu.ops.chaining import GatheredMatches, max_pairwise_paths
 from muchsalsa_tpu.ops.overlap import get_overlap
 from muchsalsa_tpu.utils.timing import StageTimer
 
@@ -102,8 +102,9 @@ def chain_edge(ctx, wiggle_room: int):
 def chaining_phase(
     graph: Graph, store: MatchStore, edge_matches: EdgeMatches, wiggle_room: int
 ) -> None:
+    gathered = GatheredMatches.build(store, edge_matches)
     for edge in graph.edges():
-        ctx = make_edge_context(store, edge_matches, edge.em_idx)
+        ctx = gathered.context(store, edge_matches, edge.em_idx)
         shadow, orders = chain_edge(ctx, wiggle_room)
         edge.shadow = shadow
         edge.orders.extend(orders)

@@ -141,6 +141,20 @@ class MatchStore:
         hi = np.searchsorted(self.nano_id, nano, side="right")
         return np.arange(lo, hi)
 
+    def sorted_illu_ids(self, nano: int) -> list[int]:
+        """Unitig ids of one read sorted by (nano range, id) — the
+        vIDsStart/vIDsEnd lists of the chaining shadow scan (cached)."""
+        if not hasattr(self, "_sorted_ids_cache"):
+            object.__setattr__(self, "_sorted_ids_cache", {})
+        cache = self._sorted_ids_cache
+        out = cache.get(nano)
+        if out is None:
+            r = self.vertex_rows(nano)
+            order = np.lexsort((self.illu_id[r], self.nano_end[r], self.nano_start[r]))
+            out = [int(x) for x in self.illu_id[r][order]]
+            cache[nano] = out
+        return out
+
     @property
     def n_vertices(self) -> int:
         return len(self.vertex_ids)

@@ -31,15 +31,17 @@ class ChainResult:
 
 @dataclass
 class EdgeContext:
-    """Everything chaining needs about one edge, gathered once.
+    """Everything chaining needs about one edge.
 
     ``v`` is the edge's first vertex (lower meta line), ``w`` the second
-    — the reference's ``edge.getVertices().first/.second``.
+    — the reference's ``edge.getVertices().first/.second``.  The
+    full-vertex match lists needed by the (rare) shadow-demotion scan
+    are resolved lazily through ``store``.
     """
 
     v: int
     w: int
-    illu_ids: np.ndarray      # int32, per edge-match row
+    illu_ids: np.ndarray      # int64, per edge-match row
     ov_start: np.ndarray
     ov_end: np.ndarray
     em_dir: np.ndarray        # bool
@@ -50,53 +52,76 @@ class EdgeContext:
     v_rr: np.ndarray; v_dir: np.ndarray
     w_ns: np.ndarray; w_ne: np.ndarray; w_is: np.ndarray; w_ie: np.ndarray
     w_rr: np.ndarray; w_dir: np.ndarray
-    # all vertex matches of v / w (for the shadow-demotion scan):
-    # (nano_start, nano_end, illu_id) sorted by (start, end, id)
-    v_all: np.ndarray         # (n, 3) int64
-    w_all: np.ndarray
     v_len: int = 0            # nanopore read lengths
     w_len: int = 0
+    store: MatchStore = None  # for lazy all-matches lookups
 
     def em_index(self, illu: int) -> int:
         i = int(np.searchsorted(self.illu_ids, illu))
         return i
 
+    def all_ids_sorted(self, first_vertex: bool) -> list[int]:
+        """All unitig ids of v (or w) sorted by (nano range, id) — the
+        vIDsStart/vIDsEnd lists of the shadow-demotion scan
+        (mpp.cpp:254-272)."""
+        return self.store.sorted_illu_ids(self.v if first_vertex else self.w)
+
+
+@dataclass
+class GatheredMatches:
+    """Per-edge-match-row vertex-match data, gathered once for all edges
+    (replaces per-edge hash lookups with two vectorised gathers)."""
+
+    rv: np.ndarray
+    rw: np.ndarray
+    fields: dict
+
+    @staticmethod
+    def build(store: MatchStore, edges: EdgeMatches) -> "GatheredMatches":
+        rv = store.rows(edges.edge_v[edges.em_edge], edges.em_illu)
+        rw = store.rows(edges.edge_w[edges.em_edge], edges.em_illu)
+        fields = {
+            "illu_ids": edges.em_illu.astype(np.int64),
+            "ov_start": edges.em_ov_start.astype(np.int64),
+            "ov_end": edges.em_ov_end.astype(np.int64),
+            "em_dir": edges.em_direction,
+            "em_score": edges.em_score,
+            "em_primary": edges.em_primary,
+            "v_ns": store.nano_start[rv].astype(np.int64),
+            "v_ne": store.nano_end[rv].astype(np.int64),
+            "v_is": store.illu_start[rv].astype(np.int64),
+            "v_ie": store.illu_end[rv].astype(np.int64),
+            "v_rr": store.rratio[rv],
+            "v_dir": store.direction[rv],
+            "w_ns": store.nano_start[rw].astype(np.int64),
+            "w_ne": store.nano_end[rw].astype(np.int64),
+            "w_is": store.illu_start[rw].astype(np.int64),
+            "w_ie": store.illu_end[rw].astype(np.int64),
+            "w_rr": store.rratio[rw],
+            "w_dir": store.direction[rw],
+        }
+        return GatheredMatches(rv, rw, fields)
+
+    def context(self, store: MatchStore, edges: EdgeMatches, edge_idx: int) -> EdgeContext:
+        lo = int(edges.em_offsets[edge_idx])
+        hi = int(edges.em_offsets[edge_idx + 1])
+        sl = slice(lo, hi)
+        v = int(edges.edge_v[edge_idx])
+        w = int(edges.edge_w[edge_idx])
+        vi = store.vertex_index(v)
+        wi = store.vertex_index(w)
+        return EdgeContext(
+            v=v,
+            w=w,
+            v_len=int(store.vertex_length[vi]),
+            w_len=int(store.vertex_length[wi]),
+            store=store,
+            **{k: arr[sl] for k, arr in self.fields.items()},
+        )
+
 
 def make_edge_context(store: MatchStore, edges: EdgeMatches, edge_idx: int) -> EdgeContext:
-    rows = edges.edge_rows(edge_idx)
-    v = int(edges.edge_v[edge_idx])
-    w = int(edges.edge_w[edge_idx])
-    illu = edges.em_illu[rows]
-    rv = store.rows(np.full(len(rows), v), illu)
-    rw = store.rows(np.full(len(rows), w), illu)
-
-    def all_matches(vid: int) -> np.ndarray:
-        r = store.vertex_rows(vid)
-        arr = np.stack(
-            [store.nano_start[r], store.nano_end[r], store.illu_id[r]], axis=1
-        ).astype(np.int64)
-        order = np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))
-        return arr[order]
-
-    return EdgeContext(
-        v=v, w=w,
-        illu_ids=illu.astype(np.int64),
-        ov_start=edges.em_ov_start[rows].astype(np.int64),
-        ov_end=edges.em_ov_end[rows].astype(np.int64),
-        em_dir=edges.em_direction[rows],
-        em_score=edges.em_score[rows],
-        em_primary=edges.em_primary[rows],
-        v_ns=store.nano_start[rv].astype(np.int64), v_ne=store.nano_end[rv].astype(np.int64),
-        v_is=store.illu_start[rv].astype(np.int64), v_ie=store.illu_end[rv].astype(np.int64),
-        v_rr=store.rratio[rv], v_dir=store.direction[rv],
-        w_ns=store.nano_start[rw].astype(np.int64), w_ne=store.nano_end[rw].astype(np.int64),
-        w_is=store.illu_start[rw].astype(np.int64), w_ie=store.illu_end[rw].astype(np.int64),
-        w_rr=store.rratio[rw], w_dir=store.direction[rw],
-        v_all=all_matches(v),
-        w_all=all_matches(w),
-        v_len=int(store.vertex_length[store.vertex_index(v)]),
-        w_len=int(store.vertex_length[store.vertex_index(w)]),
-    )
+    return GatheredMatches.build(store, edges).context(store, edges, edge_idx)
 
 
 def _nano_check(ctx: EdgeContext, i1: int, i2: int, use_v: bool) -> tuple[bool, int, float]:
@@ -239,8 +264,8 @@ def finalize_paths(
 
     # shadow demotion of a lone primary chain (mpp.cpp:251-302)
     if len(result) == 1 and result[0].primary:
-        ids_start = _sorted_all(ctx.v_all)
-        ids_end = _sorted_all(ctx.w_all)
+        ids_start = ctx.all_ids_sorted(True)
+        ids_end = ctx.all_ids_sorted(False)
         if not direction:
             ids_end = ids_end[::-1]
         p_ids = result[0].ids
@@ -266,11 +291,6 @@ def finalize_paths(
                 result[0] = ChainResult(p_ids, result[0].score, False)
 
     return result
-
-
-def _sorted_all(all_matches: np.ndarray) -> list[int]:
-    """ids of a vertex's matches sorted by (nano range, id) — pre-sorted."""
-    return [int(x) for x in all_matches[:, 2]]
 
 
 def _find_from(haystack: list[int], start: int, needle: int) -> int:

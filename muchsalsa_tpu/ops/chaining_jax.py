@@ -140,13 +140,12 @@ def chain_dp_batch(batch: dict, wiggle_room: int):
 # ---------------------------------------------------------------------------
 # host-side batch construction + result assembly
 
-
-@dataclass
-class _Problem:
-    edge_idx: int
-    direction: bool
-    srows: list[int]       # local em-row indices in vStart order
-    ctx: EdgeContext
+# (field name in batch) -> (field name in GatheredMatches)
+_FIELD_MAP = {
+    "v_ns": "v_ns", "v_ne": "v_ne", "v_is": "v_is", "v_ie": "v_ie", "v_rr": "v_rr",
+    "w_ns": "w_ns", "w_ne": "w_ne", "w_is": "w_is", "w_ie": "w_ie", "w_rr": "w_rr",
+    "ov_s": "ov_start", "ov_e": "ov_end", "score": "em_score",
+}
 
 
 def chaining_phase_device(
@@ -159,109 +158,113 @@ def chaining_phase_device(
 ) -> None:
     """Device-batched variant of ``driver.chaining_phase``.
 
-    Builds one problem per (edge, strand class), buckets them by padded
-    anchor count, runs the DP per bucket, then finishes on the host.
-    Problems larger than the biggest bucket fall back to the oracle, as
-    does any bucket smaller than ``min_device_batch``.
+    One problem per (edge, strand class); batch construction is fully
+    vectorised (one global lexsort + flat scatters).  Problems larger
+    than the biggest bucket fall back to the oracle, as does any bucket
+    smaller than ``min_device_batch``.
     """
-    from muchsalsa_tpu.ops.chaining import max_pairwise_paths
+    from muchsalsa_tpu.ops.chaining import GatheredMatches, max_pairwise_paths
     from muchsalsa_tpu.ops.overlap import get_overlap
 
     dtype = np.float64 if jax.config.read("jax_enable_x64") else np.float32
     max_bucket = max(chain_buckets)
 
-    contexts: dict[int, EdgeContext] = {}
-    problems: list[_Problem] = []
-    edge_list = graph.edges()
-    for edge in edge_list:
-        ctx = make_edge_context(store, edge_matches, edge.em_idx)
-        contexts[edge.em_idx] = ctx
-        k = len(ctx.illu_ids)
-        for direction in (False, True):
-            rows = [i for i in range(k) if bool(ctx.em_dir[i]) == direction]
-            if not rows:
-                continue
-            v_keys = sorted(
-                (int(ctx.v_ns[r]), int(ctx.v_ne[r]), int(ctx.illu_ids[r]), r) for r in rows
-            )
-            problems.append(
-                _Problem(edge.em_idx, direction, [t[3] for t in v_keys], ctx)
-            )
+    gathered = GatheredMatches.build(store, edge_matches)
+    em = edge_matches
+    f = gathered.fields
+    n_rows = len(em.em_edge)
 
-    # bucketize
-    buckets: dict[int, list[_Problem]] = {}
-    host_only: list[_Problem] = []
-    for p in problems:
-        k = len(p.srows)
-        if k > max_bucket:
-            host_only.append(p)
-            continue
-        bucket = next(b for b in sorted(chain_buckets) if k <= b)
-        buckets.setdefault(bucket, []).append(p)
+    # global problem grouping: key = (edge, strand class); rows within a
+    # problem sorted in vStart order (v_ns, v_ne, illu) — mpp.cpp:172
+    key = em.em_edge.astype(np.int64) * 2 + em.em_direction
+    order = np.lexsort((f["illu_ids"], f["v_ne"], f["v_ns"], key))
+    key_s = key[order]
+    bounds = np.nonzero(np.diff(key_s))[0] + 1 if n_rows else np.zeros(0, np.int64)
+    starts = np.concatenate([[0], bounds]).astype(np.int64) if n_rows else np.zeros(0, np.int64)
+    ends = np.concatenate([bounds, [n_rows]]).astype(np.int64) if n_rows else np.zeros(0, np.int64)
+    sizes = ends - starts
+    prob_edge = (key_s[starts] // 2).astype(np.int64) if n_rows else np.zeros(0, np.int64)
+    prob_dir = (key_s[starts] % 2).astype(bool) if n_rows else np.zeros(0, bool)
+    # local (within-edge) row index of each sorted global row
+    local_idx = order - em.em_offsets[em.em_edge[order]] if n_rows else np.zeros(0, np.int64)
 
+    n_problems = len(sizes)
     results: dict[tuple[int, bool], list[ChainResult]] = {}
 
-    FIELDS = (
-        "v_ns", "v_ne", "v_is", "v_ie", "v_rr",
-        "w_ns", "w_ne", "w_is", "w_ie", "w_rr",
-        "ov_s", "ov_e", "score",
-    )
+    contexts: dict[int, EdgeContext] = {}
 
-    for bucket, plist in sorted(buckets.items()):
-        if len(plist) < min_device_batch:
-            host_only.extend(plist)
+    def ctx_of(edge_idx: int) -> EdgeContext:
+        ctx = contexts.get(edge_idx)
+        if ctx is None:
+            ctx = gathered.context(store, edge_matches, edge_idx)
+            contexts[edge_idx] = ctx
+        return ctx
+
+    # bucket assignment (vectorised)
+    bucket_of = np.full(n_problems, -1, dtype=np.int64)
+    for b in sorted(chain_buckets, reverse=True):
+        bucket_of[sizes <= b] = b
+
+    host_probs: list[int] = list(np.nonzero(bucket_of < 0)[0])
+
+    for bucket in sorted(set(chain_buckets)):
+        probs = np.nonzero(bucket_of == bucket)[0]
+        if len(probs) == 0:
             continue
-        B, K = len(plist), bucket
-        arrs = {f: np.zeros((B, K), dtype=dtype) for f in FIELDS}
-        arrs["v_dir"] = np.zeros((B, K), dtype=bool)
-        arrs["w_dir"] = np.zeros((B, K), dtype=bool)
-        arrs["valid"] = np.zeros((B, K), dtype=bool)
-        cls_dir = np.zeros(B, dtype=bool)
-        # padding anchors get rr=1 to avoid div-by-zero; masked anyway
-        arrs["v_rr"][:] = 1.0
-        arrs["w_rr"][:] = 1.0
+        if len(probs) < min_device_batch:
+            host_probs.extend(probs.tolist())
+            continue
+        B, K = len(probs), bucket
+        sel_sizes = sizes[probs]
+        total = int(sel_sizes.sum())
+        prob_of_row = np.repeat(np.arange(B), sel_sizes)
+        row_pos = np.arange(total) - np.repeat(np.cumsum(sel_sizes) - sel_sizes, sel_sizes)
+        src = order[np.repeat(starts[probs], sel_sizes) + row_pos]
+        dest = prob_of_row * K + row_pos
 
-        for i, p in enumerate(plist):
-            c, rows = p.ctx, p.srows
-            n = len(rows)
-            sl = np.array(rows)
-            mapping = {
-                "v_ns": c.v_ns, "v_ne": c.v_ne, "v_is": c.v_is, "v_ie": c.v_ie,
-                "v_rr": c.v_rr, "w_ns": c.w_ns, "w_ne": c.w_ne, "w_is": c.w_is,
-                "w_ie": c.w_ie, "w_rr": c.w_rr, "ov_s": c.ov_start,
-                "ov_e": c.ov_end, "score": c.em_score,
-            }
-            for f, src in mapping.items():
-                arrs[f][i, :n] = src[sl]
-            arrs["v_dir"][i, :n] = c.v_dir[sl]
-            arrs["w_dir"][i, :n] = c.w_dir[sl]
-            arrs["valid"][i, :n] = True
-            cls_dir[i] = p.direction
+        arrs = {}
+        for bf, gf in _FIELD_MAP.items():
+            a = np.zeros(B * K, dtype=dtype)
+            if bf in ("v_rr", "w_rr"):
+                a[:] = 1.0  # padding: avoid div-by-zero; masked anyway
+            a[dest] = f[gf][src]
+            arrs[bf] = a.reshape(B, K)
+        for bf, gf in (("v_dir", "v_dir"), ("w_dir", "w_dir")):
+            a = np.zeros(B * K, dtype=bool)
+            a[dest] = f[gf][src]
+            arrs[bf] = a.reshape(B, K)
+        valid = np.zeros(B * K, dtype=bool)
+        valid[dest] = True
+        arrs["valid"] = valid.reshape(B, K)
 
-        batch = {f: jnp.asarray(a) for f, a in arrs.items()}
-        batch["cls_dir"] = jnp.asarray(cls_dir)
+        batch = {k2: jnp.asarray(v2) for k2, v2 in arrs.items()}
+        batch["cls_dir"] = jnp.asarray(prob_dir[probs])
         scores_dev, bps_dev = chain_dp_batch(batch, int(wiggle_room))
         scores_np = np.asarray(scores_dev)
         bps_np = np.asarray(bps_dev)
 
-        for i, p in enumerate(plist):
-            n = len(p.srows)
+        for i, p in enumerate(probs):
+            n = int(sizes[p])
+            srows = [int(x) for x in local_idx[starts[p] : ends[p]]]
             paths, scores = _reconstruct(scores_np[i], bps_np[i], n)
-            results[(p.edge_idx, p.direction)] = finalize_paths(
-                p.ctx, p.srows, paths, scores, p.direction
+            results[(int(prob_edge[p]), bool(prob_dir[p]))] = finalize_paths(
+                ctx_of(int(prob_edge[p])), srows, paths, scores, bool(prob_dir[p])
             )
 
-    for p in host_only:
+    for p in host_probs:
+        edge_idx = int(prob_edge[p])
+        direction = bool(prob_dir[p])
+        ctx = ctx_of(edge_idx)
         rows = np.array(
-            [r for r in range(len(p.ctx.illu_ids)) if bool(p.ctx.em_dir[r]) == p.direction]
+            [r for r in range(len(ctx.illu_ids)) if bool(ctx.em_dir[r]) == direction]
         )
-        results[(p.edge_idx, p.direction)] = max_pairwise_paths(
-            p.ctx, rows, p.direction, wiggle_room
-        )
+        results[(edge_idx, direction)] = max_pairwise_paths(ctx, rows, direction, wiggle_room)
+
+    edge_list = graph.edges()
 
     # merge per edge exactly like chainingAndOverlaps (main.cpp:328-414)
     for edge in edge_list:
-        ctx = contexts[edge.em_idx]
+        ctx = ctx_of(edge.em_idx)
         minus_paths = results.get((edge.em_idx, False), [])
         plus_paths = results.get((edge.em_idx, True), [])
 
