@@ -76,9 +76,24 @@ class SequenceStore:
         store.load(path)
         return store
 
-    def load(self, path: str | Path) -> None:
+    def load(self, path: str | Path, use_native: bool = True) -> None:
         data = Path(path).read_bytes()
-        it = _iter_fastq(data) if is_fastq(path) else _iter_fasta(data)
+        fastq = is_fastq(path)
+
+        if use_native:
+            from muchsalsa_tpu import native
+
+            if native.available():
+                parsed = native.parse_fasta(data, fastq)
+                if parsed is not None:
+                    names, blob, offsets = parsed
+                    for i, name in enumerate(names):
+                        idx = self.registry[name]
+                        self._seqs[idx] = blob[offsets[i] : offsets[i + 1]]
+                        self._descriptions[idx] = name
+                    return
+
+        it = _iter_fastq(data) if fastq else _iter_fasta(data)
         for header, seq in it:
             rec_id = _clean_id(header)
             idx = self.registry[rec_id]

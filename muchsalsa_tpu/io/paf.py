@@ -71,9 +71,37 @@ def read_paf(
     skip_last_line: bool = True,
     registry_nanopore: Registry | None = None,
     registry_illumina: Registry | None = None,
+    use_native: bool = True,
 ) -> PafRecords:
     reg_nano = registry_nanopore if registry_nanopore is not None else Registry()
     reg_illu = registry_illumina if registry_illumina is not None else Registry()
+
+    if use_native:
+        from muchsalsa_tpu import native
+
+        if native.available():
+            parsed = native.parse_paf(Path(path).read_bytes(), min_matches, skip_last_line)
+            if parsed is not None:
+                arrays, nano_names, illu_names = parsed
+                nano_map = np.array([reg_nano[n] for n in nano_names], dtype=np.int32)
+                illu_map = np.array([reg_illu[n] for n in illu_names], dtype=np.int32)
+                illu_len = arrays["illu_end"] - arrays["illu_start"] + 1
+                is_primary = (illu_len >= th_length) & (arrays["score"] >= th_matches)
+                return PafRecords(
+                    illu_id=illu_map[arrays["illu_id"]] if len(illu_map) else arrays["illu_id"],
+                    nano_id=nano_map[arrays["nano_id"]] if len(nano_map) else arrays["nano_id"],
+                    illu_start=arrays["illu_start"],
+                    illu_end=arrays["illu_end"],
+                    nano_start=arrays["nano_start"],
+                    nano_end=arrays["nano_end"],
+                    nano_length=arrays["nano_length"],
+                    direction=arrays["direction"],
+                    score=arrays["score"],
+                    is_primary=is_primary,
+                    line_idx=arrays["line_idx"],
+                    registry_nanopore=reg_nano,
+                    registry_illumina=reg_illu,
+                )
 
     illu_ids: list[int] = []
     nano_ids: list[int] = []
