@@ -39,7 +39,33 @@ class StageTimer:
             print(f"[ms-tpu] {name} = {value}", file=sys.stderr)
 
     def dump(self) -> str:
-        return json.dumps({"stages": self.stages, "counters": self.counters}, indent=2)
+        return json.dumps(
+            {"stages": self.stages, "counters": self.counters, "memory": memory_stats()},
+            indent=2,
+        )
+
+
+def memory_stats() -> dict:
+    """Peak host RSS + device memory, the TrackingAllocator equivalent
+    (reference ``src/TrackingAllocator.cpp``, printed under
+    TRACK_MEMORY_USAGE at ``main.cpp:317-319``)."""
+    out: dict = {}
+    try:
+        import resource
+
+        out["host_peak_rss_bytes"] = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    except Exception:
+        pass
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        if stats:
+            out["device_bytes_in_use"] = stats.get("bytes_in_use")
+            out["device_peak_bytes_in_use"] = stats.get("peak_bytes_in_use")
+    except Exception:
+        pass
+    return out
 
 
 @contextlib.contextmanager
