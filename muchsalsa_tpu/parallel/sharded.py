@@ -45,3 +45,41 @@ def sharded_chain_dp(batch: dict, wiggle_room: int, mesh: Mesh, axis: str = "rea
         return scores, bps, stats
 
     return jax.jit(step)(batch)
+
+
+def sharded_anchor_counts(
+    codes,
+    lens,
+    index_hashes,
+    mesh: Mesh,
+    k: int = 15,
+    w: int = 5,
+    axis: str = "reads",
+):
+    """Multi-chip mapping lookup: reads shard over the mesh, the sorted
+    unitig-minimizer index is replicated on every chip (BASELINE.json
+    north star: "unitigs ... sharded/replicated across a multi-host TPU
+    pod slice; nanopore long reads stream in data-parallel batches").
+
+    Returns ((R,) per-read anchor counts, (2,) psum-merged
+    [reads_with_anchors, total_anchors]).
+    """
+    from muchsalsa_tpu.ops.minimizer_jax import anchor_counts
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P()),
+    )
+    def step(local_codes, local_lens, index):
+        counts = anchor_counts(local_codes, local_lens, index, k, w)
+        stats = jnp.stack(
+            [
+                jnp.sum((counts > 0).astype(jnp.float32)),
+                jnp.sum(counts.astype(jnp.float32)),
+            ]
+        )
+        return counts, jax.lax.psum(stats, axis)
+
+    return jax.jit(step)(codes, lens, index_hashes)

@@ -56,3 +56,28 @@ def test_sharded_smaller_mesh(rng):
     scores, bps, stats = sharded_chain_dp(batch, 300, mesh)
     assert scores.shape == (B, K)
     assert int(np.asarray(stats)[0]) == B
+
+
+def test_sharded_anchor_counts(rng):
+    import jax.numpy as jnp
+
+    from muchsalsa_tpu.ops.minimizer import minimizers
+    from muchsalsa_tpu.ops.minimizer_jax import anchor_counts
+    from muchsalsa_tpu.parallel.sharded import sharded_anchor_counts
+    from muchsalsa_tpu.testing.simulate import random_genome
+    from tests.test_minimizer_jax import pad_batch
+
+    genome = random_genome(rng, 6000)
+    unitig = genome[2000:3200]
+    _, hh, _ = minimizers(unitig, 15, 5)
+    index = jnp.asarray(np.sort(hh))
+
+    reads = [genome[i * 700 : i * 700 + 1500] for i in range(8)]
+    codes, lens = pad_batch(reads)
+
+    ref = np.asarray(anchor_counts(codes, lens, index, 15, 5))
+
+    mesh = make_mesh()
+    counts, stats = sharded_anchor_counts(codes, lens, index, mesh, 15, 5)
+    np.testing.assert_array_equal(np.asarray(counts), ref)
+    assert int(np.asarray(stats)[1]) == int(ref.sum())
