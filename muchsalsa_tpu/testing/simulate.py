@@ -74,6 +74,30 @@ def simulate(
     return sim
 
 
+def add_noise(rng: np.random.Generator, seq: bytes, error_rate: float) -> bytes:
+    """Nanopore-style noise: equal parts substitution/insertion/deletion."""
+    if error_rate <= 0:
+        return seq
+    arr = np.frombuffer(seq, dtype=np.uint8)
+    out = bytearray()
+    r = rng.random(len(arr))
+    ins_base = _BASES[rng.integers(0, 4, len(arr))]
+    sub_base = _BASES[rng.integers(0, 4, len(arr))]
+    third = error_rate / 3
+    for i, b in enumerate(arr):
+        x = r[i]
+        if x < third:
+            continue  # deletion
+        if x < 2 * third:
+            out.append(sub_base[i])  # substitution
+        elif x < error_rate:
+            out.append(b)
+            out.append(ins_base[i])  # insertion
+        else:
+            out.append(b)
+    return bytes(out)
+
+
 def illumina_pairs(
     rng: np.random.Generator,
     genome: bytes,
