@@ -201,8 +201,19 @@ int64_t ms_parse_fasta(const char *data, int64_t len, int32_t is_fastq) {
         st.names.append(p + 1, name_end);
         ++records;
       } else if (records) {
-        for (const char *q = p; q < stop; ++q)
-          if (!isspace(static_cast<unsigned char>(*q))) st.seq.push_back(*q);
+        // bulk-append; trim trailing CR/space (whitespace inside a
+        // sequence line is rare — fall back to filtering only then)
+        const char *q2 = stop;
+        while (q2 > p && isspace(static_cast<unsigned char>(q2[-1]))) --q2;
+        bool inner_ws = false;
+        for (const char *q = p; q < q2; ++q)
+          if (isspace(static_cast<unsigned char>(*q))) { inner_ws = true; break; }
+        if (!inner_ws) {
+          st.seq.append(p, q2);
+        } else {
+          for (const char *q = p; q < q2; ++q)
+            if (!isspace(static_cast<unsigned char>(*q))) st.seq.push_back(*q);
+        }
       }
       p = nl ? nl + 1 : end;
     }
@@ -222,8 +233,17 @@ int64_t ms_parse_fasta(const char *data, int64_t len, int32_t is_fastq) {
           phase = 1;
         }
       } else if (phase == 1) {
-        for (const char *q = p; q < stop; ++q)
-          if (!isspace(static_cast<unsigned char>(*q))) st.seq.push_back(*q);
+        const char *q2 = stop;
+        while (q2 > p && isspace(static_cast<unsigned char>(q2[-1]))) --q2;
+        bool inner_ws = false;
+        for (const char *q = p; q < q2; ++q)
+          if (isspace(static_cast<unsigned char>(*q))) { inner_ws = true; break; }
+        if (!inner_ws) {
+          st.seq.append(p, q2);
+        } else {
+          for (const char *q = p; q < q2; ++q)
+            if (!isspace(static_cast<unsigned char>(*q))) st.seq.push_back(*q);
+        }
         phase = 2;
       } else if (phase == 2) {
         phase = 3;

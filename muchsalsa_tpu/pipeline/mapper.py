@@ -126,29 +126,28 @@ def map_read(index: MinimizerIndex, read_seq: bytes, cfg: MapperConfig) -> list[
     if len(pos) == 0:
         return []
 
-    # bucket lookup
+    # bucket lookup (vectorised CSR expansion — no per-hit Python)
     loc = np.searchsorted(index.hashes, h)
     loc = np.minimum(loc, max(len(index.hashes) - 1, 0))
     hit = len(index.hashes) > 0
     found = index.hashes[loc] == h if hit else np.zeros(len(h), dtype=bool)
 
-    anchors_u, anchors_q, anchors_t, anchors_rel = [], [], [], []
-    for i in np.nonzero(found)[0]:
-        lo, hi = index.offsets[loc[i]], index.offsets[loc[i] + 1]
-        sl = slice(lo, hi)
-        n = hi - lo
-        anchors_u.append(index.entry_unitig[sl])
-        anchors_q.append(index.entry_pos[sl])
-        anchors_t.append(np.full(n, pos[i], dtype=np.int64))
-        anchors_rel.append(index.entry_strand[sl] == strand[i])
-
-    if not anchors_u:
+    hit_idx = np.nonzero(found)[0]
+    if len(hit_idx) == 0:
         return []
+    lo = index.offsets[loc[hit_idx]]
+    counts = index.offsets[loc[hit_idx] + 1] - lo
+    total = int(counts.sum())
+    if total == 0:
+        return []
+    base = np.repeat(lo, counts)
+    within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    src = base + within
 
-    au = np.concatenate(anchors_u)
-    aq = np.concatenate(anchors_q).astype(np.int64)
-    at = np.concatenate(anchors_t)
-    arel = np.concatenate(anchors_rel)
+    au = index.entry_unitig[src]
+    aq = index.entry_pos[src].astype(np.int64)
+    at = np.repeat(pos[hit_idx], counts)
+    arel = index.entry_strand[src] == np.repeat(strand[hit_idx], counts)
 
     k = index.k
     results: list[Mapping] = []
