@@ -74,6 +74,10 @@ class MapperConfig:
     bandwidth: int = 2_000
     min_anchor_count: int = 3
     max_occ: int = 64
+    # alignment-refined match counts (the reference's `-c --eqx` stage):
+    # run the banded-DP kernel over every mapped region
+    refine: bool = False
+    refine_band: int = 256
 
 
 @dataclass(frozen=True)

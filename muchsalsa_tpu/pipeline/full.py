@@ -126,6 +126,7 @@ def run_full_pipeline(
             index, reads, config.mapper,
             unitig_names=lambda u: unitigs.registry.name(u),
             read_names=lambda r: reads.registry.name(r),
+            unitigs=unitigs,
         )
         # the core parser drops the final PAF line by reference parity:
         # terminate with a sentinel so no real mapping is lost

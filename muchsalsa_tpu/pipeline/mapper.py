@@ -202,14 +202,24 @@ def map_all(
     cfg: MapperConfig,
     unitig_names=None,
     read_names=None,
+    unitigs: SequenceStore | None = None,
 ) -> list[str]:
-    """Map every read; emit PAF lines (query = unitig, target = read)."""
+    """Map every read; emit PAF lines (query = unitig, target = read).
+
+    With ``cfg.refine`` (and ``unitigs`` provided), match counts are
+    alignment-refined via the banded-DP kernel.
+    """
     lines: list[str] = []
     uname = unitig_names or (lambda uid: f"u{uid}")
     rname = read_names or (lambda rid: f"r{rid}")
-    for rid, seq in reads.items():
-        tlen = len(seq)
-        for m in map_read(index, seq, cfg):
+
+    per_read = [(rid, map_read(index, seq, cfg)) for rid, seq in reads.items()]
+    if cfg.refine and unitigs is not None:
+        refine_mappings(per_read, reads, unitigs, band=cfg.refine_band)
+
+    for rid, maps in per_read:
+        tlen = reads.length(rid)
+        for m in maps:
             qlen = index.unitig_lengths[m.unitig]
             block = max(m.q_end - m.q_start, m.t_end - m.t_start)
             lines.append(
@@ -222,3 +232,58 @@ def map_all(
 
 def write_paf(lines: list[str], path: str | Path) -> None:
     Path(path).write_text("\n".join(lines) + ("\n" if lines else ""))
+
+
+def refine_mappings(
+    mappings_per_read: list[tuple[int, list[Mapping]]],
+    reads: SequenceStore,
+    unitigs: SequenceStore,
+    band: int = 256,
+    use_pallas: bool | None = None,
+) -> None:
+    """Alignment-refined match counts (the reference's ``minimap2 -c
+    --eqx`` stage, pipeline.sh:175): batch banded edit-distance of every
+    mapped region on the device and replace each mapping's heuristic
+    ``matches`` with ``max(span) - edits`` (a true alignment-based count).
+    Mappings whose length difference exceeds the band are left unrefined.
+
+    ``mappings_per_read``: list of (read_id, [Mapping...]); mutated in place.
+    """
+    import jax
+
+    from muchsalsa_tpu.ops.align import banded_edit_distance, pack_problems
+    from muchsalsa_tpu.utils.seq import reverse_complement
+
+    pairs = []
+    slots = []
+    for rid, maps in mappings_per_read:
+        read_seq = reads.sequence(rid)
+        for m in maps:
+            q = unitigs.sequence(m.unitig)[m.q_start : m.q_end]
+            t = read_seq[m.t_start : m.t_end]
+            if not m.strand:
+                t = reverse_complement(t)
+            if abs(len(q) - len(t)) >= band:
+                continue
+            pairs.append((q, t))
+            slots.append(m)
+    if not pairs:
+        return
+
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+
+    args = pack_problems(pairs)
+    if use_pallas:
+        from muchsalsa_tpu.ops.align_pallas import banded_edit_distance_pallas
+
+        dists = banded_edit_distance_pallas(*args, band=band)
+    else:
+        dists = banded_edit_distance(*args, band=band)
+
+    import numpy as np
+
+    dists = np.asarray(dists)
+    for m, (q, t), d in zip(slots, pairs, dists):
+        if d >= 0:
+            m.matches = max(len(q), len(t)) - int(d)

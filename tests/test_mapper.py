@@ -145,3 +145,35 @@ def test_map_all_matches_ground_truth_pairs():
     # every confident true overlap is recovered with the right strand
     missing = truth - ours
     assert not missing, f"mapper missed {len(missing)} of {len(truth)}: {sorted(missing)[:5]}"
+
+
+def test_refine_mappings_alignment_counts():
+    rng = np.random.default_rng(71)
+    genome = random_genome(rng, 12_000)
+    unitigs = SequenceStore()
+    unitigs.add("u0", genome[2000:3200])
+    reads = SequenceStore()
+    from muchsalsa_tpu.testing.simulate import add_noise
+
+    noisy = add_noise(rng, genome[1000:6000], 0.05)
+    rid = reads.add("r0", noisy)
+    rc_rid = reads.add("r1", reverse_complement(genome[1000:6000]))
+
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+    per_read = [(rid, map_read(index, reads.sequence(rid), cfg)),
+                (rc_rid, map_read(index, reads.sequence(rc_rid), cfg))]
+    assert per_read[0][1] and per_read[1][1]
+
+    from muchsalsa_tpu.pipeline.mapper import refine_mappings
+
+    before = [m.matches for _, maps in per_read for m in maps]
+    refine_mappings(per_read, reads, unitigs, use_pallas=False)
+    after = [m.matches for _, maps in per_read for m in maps]
+    # alignment-based counts exceed the merged-minimizer heuristic
+    for b, a in zip(before, after):
+        assert a >= b
+    # the exact reverse-strand mapping should be near-perfect
+    m_rc = per_read[1][1][0]
+    span = max(m_rc.q_end - m_rc.q_start, m_rc.t_end - m_rc.t_start)
+    assert m_rc.matches > 0.97 * span
