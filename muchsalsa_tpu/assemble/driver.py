@@ -124,6 +124,19 @@ def assemble(
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
+    # debug mode: eager (jit-disabled) device path + verbose stage logs
+    # — the TPU analog of the reference's sanitizer builds (SURVEY.md §5)
+    import contextlib
+    import os
+
+    debug_ctx = contextlib.nullcontext()
+    if os.environ.get("MS_TPU_DEBUG"):
+        import jax
+
+        timer.verbose = True
+        debug_ctx = jax.disable_jit()
+    profile_dir = os.environ.get("MS_TPU_PROFILE")
+
     registry_nano = Registry()
     registry_illu = Registry()
 
@@ -151,7 +164,9 @@ def assemble(
         illu_seqs = SequenceStore(registry_illu)
         illu_seqs.load(unitigs_path)
 
-    with timer.stage("chaining"):
+    from muchsalsa_tpu.utils.timing import jax_profile
+
+    with timer.stage("chaining"), debug_ctx, jax_profile(profile_dir):
         if config.device.use_device:
             from muchsalsa_tpu.ops.chaining_jax import chaining_phase_device
 

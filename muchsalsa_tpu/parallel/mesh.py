@@ -19,3 +19,26 @@ def make_mesh(n_devices: int | None = None, axis: str = "reads") -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
+
+
+def init_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` with env-var
+    autodetection (SURVEY.md §5 "distributed communication backend").
+    No-op when already initialised or running single-process."""
+    import os
+
+    coordinator = coordinator or os.environ.get("MS_TPU_COORDINATOR")
+    if coordinator is None and num_processes is None:
+        return  # single host
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialised
