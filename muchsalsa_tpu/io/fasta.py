@@ -69,6 +69,7 @@ class SequenceStore:
         self.registry = registry if registry is not None else Registry()
         self._seqs: dict[int, bytes] = {}
         self._descriptions: dict[int, str] = {}
+        self._str_cache: dict[int, str] = {}
 
     @staticmethod
     def from_file(path: str | Path, registry: Registry | None = None) -> "SequenceStore":
@@ -104,6 +105,7 @@ class SequenceStore:
         idx = self.registry[name]
         self._seqs[idx] = seq.encode() if isinstance(seq, str) else bytes(seq)
         self._descriptions[idx] = name
+        self._str_cache.pop(idx, None)
         return idx
 
     def __len__(self) -> int:
@@ -116,7 +118,13 @@ class SequenceStore:
         return self._seqs[idx]
 
     def sequence_str(self, idx: int) -> str:
-        return self._seqs[idx].decode()
+        # consensus fetches sub-ranges of the same read many times;
+        # cache the decoded string (decode is O(len) per call otherwise)
+        s = self._str_cache.get(idx)
+        if s is None:
+            s = self._seqs[idx].decode()
+            self._str_cache[idx] = s
+        return s
 
     def length(self, idx: int) -> int:
         return len(self._seqs[idx])
