@@ -27,6 +27,21 @@ def _load_config(path: str | None) -> Config:
     return DEFAULT_CONFIG
 
 
+def _ensure_backend() -> None:
+    """Fall back to CPU when the pinned jax platform cannot initialize
+    (e.g. JAX_PLATFORMS names an accelerator plugin that isn't
+    importable in this environment)."""
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError as exc:
+        print(f"[muchsalsa-tpu] {exc}", file=sys.stderr)
+        print("[muchsalsa-tpu] falling back to CPU backend", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="muchsalsa-tpu")
     parser.add_argument("--config", help="JSON config file", default=None)
@@ -62,7 +77,19 @@ def main(argv: list[str] | None = None) -> int:
         print(config.to_json())
         return 0
 
+    _ensure_backend()
+
     if args.command == "core":
+        # integrity check (reference Application::checkIntegrity,
+        # Application.cpp:53-63)
+        from pathlib import Path
+
+        for p in (args.paf, args.unitigs, args.nanopore):
+            if not Path(p).is_file():
+                print("Paths are pointing to invalid/unusable locations", file=sys.stderr)
+                print(f"  missing: {p}", file=sys.stderr)
+                return 1
+
         if args.wiggle_room is not None:
             graph = dataclasses.replace(config.graph, wiggle_room=args.wiggle_room)
             config = dataclasses.replace(config, graph=graph)
