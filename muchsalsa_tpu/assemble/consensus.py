@@ -65,25 +65,35 @@ class ConsensusContext:
         self.illu_seqs = illu_seqs
         self.th_sequence_length = th_sequence_length
         self.sequence_line_length = sequence_line_length
+        self._vm_cache: dict[tuple[int, int], int] = {}
+        self._em_cache: dict[tuple[int, int], tuple[int, int]] = {}
 
     # -- match lookups -------------------------------------------------------
 
     def vm(self, nano: int, illu: int) -> int:
-        row = self.store.row(nano, illu)
+        key = (nano, illu)
+        row = self._vm_cache.get(key)
+        if row is None:
+            row = self.store.row(nano, illu)
+            self._vm_cache[key] = row
         if row < 0:
             raise KeyError(f"no vertex match ({nano}, {illu})")
         return row
 
     def em_overlap(self, em_idx: int, illu: int) -> tuple[int, int]:
-        lo = int(self.edge_matches.em_offsets[em_idx])
-        hi = int(self.edge_matches.em_offsets[em_idx + 1])
-        pos = lo + int(np.searchsorted(self.edge_matches.em_illu[lo:hi], illu))
-        if pos >= hi or self.edge_matches.em_illu[pos] != illu:
+        key = (em_idx, illu)
+        out = self._em_cache.get(key)
+        if out is not None:
+            return out
+        em = self.edge_matches
+        lo = int(em.em_offsets[em_idx])
+        hi = int(em.em_offsets[em_idx + 1])
+        pos = lo + int(em.em_illu[lo:hi].searchsorted(illu))
+        if pos >= hi or em.em_illu[pos] != illu:
             raise KeyError(f"no edge match (edge {em_idx}, illu {illu})")
-        return (
-            int(self.edge_matches.em_ov_start[pos]),
-            int(self.edge_matches.em_ov_end[pos]),
-        )
+        out = (int(em.em_ov_start[pos]), int(em.em_ov_end[pos]))
+        self._em_cache[key] = out
+        return out
 
     # -- sequence access (SequenceUtils.cpp:63-85) ---------------------------
 

@@ -129,7 +129,13 @@ class MatchStore:
         return np.where(hit, pos, -1)
 
     def row(self, nano: int, illu: int) -> int:
-        return int(self.rows(np.int64(nano), np.int64(illu)))
+        """Fast scalar lookup (hot in consensus — avoids array wrappers)."""
+        want = int(nano) * self._illu_stride + int(illu)
+        key = self._key
+        pos = int(key.searchsorted(want))
+        if pos < len(key) and int(key[pos]) == want:
+            return pos
+        return -1
 
     def vertex_index(self, nano: np.ndarray | int) -> np.ndarray:
         idx = np.searchsorted(self.vertex_ids, nano)
