@@ -49,12 +49,22 @@ class MinimizerIndex:
     w: int
 
     @staticmethod
-    def build(store: SequenceStore, cfg: MapperConfig) -> "MinimizerIndex":
+    def build(
+        store: SequenceStore,
+        cfg: MapperConfig,
+        sketches: dict | None = None,
+    ) -> "MinimizerIndex":
+        """``sketches`` (optional): precomputed ``{id: (pos, h, strand)}``
+        minimizer sketches to reuse (the scrubber's all-vs-all computes
+        each read's sketch once for both index and lookup)."""
         all_h, all_u, all_p, all_s = [], [], [], []
         lengths = {}
         for uid, seq in store.items():
             lengths[uid] = len(seq)
-            pos, h, strand = minimizers(seq, cfg.k, cfg.w)
+            if sketches is not None and uid in sketches:
+                pos, h, strand = sketches[uid]
+            else:
+                pos, h, strand = minimizers(seq, cfg.k, cfg.w)
             all_h.append(h)
             all_p.append(pos.astype(np.int32))
             all_s.append(strand)
@@ -120,9 +130,17 @@ def _covered(starts: np.ndarray, k: int) -> int:
     return int(k + np.sum(np.minimum(gaps, k)))
 
 
-def map_read(index: MinimizerIndex, read_seq: bytes, cfg: MapperConfig) -> list[Mapping]:
-    codes = encode_2bit(read_seq)
-    pos, h, strand = minimizers(codes, index.k, index.w)
+def map_read(
+    index: MinimizerIndex,
+    read_seq: bytes,
+    cfg: MapperConfig,
+    sketch: tuple | None = None,
+) -> list[Mapping]:
+    if sketch is not None:
+        pos, h, strand = sketch
+    else:
+        codes = encode_2bit(read_seq)
+        pos, h, strand = minimizers(codes, index.k, index.w)
     if len(pos) == 0:
         return []
 

@@ -148,17 +148,25 @@ def _scrub_subset(subset, nodes, adj, remaining, reads, out, scrub_cfg, mapper_c
                 center.discard(u)
                 break
 
-    # all-vs-all overlap of the subset with the native mapper
+    # all-vs-all overlap of the subset with the native mapper; each
+    # read's minimizer sketch is computed once and reused for index
+    # build and lookup
+    from muchsalsa_tpu.ops.minimizer import minimizers
+
     subset_store = SequenceStore()
     for name in sorted(subset):
         rid = reads.registry.get(name)
         if rid is not None and rid in reads:
             subset_store.add(name, reads.sequence(rid))
-    index = MinimizerIndex.build(subset_store, mapper_cfg)
+    sketches = {
+        sid: minimizers(seq, mapper_cfg.k, mapper_cfg.w)
+        for sid, seq in subset_store.items()
+    }
+    index = MinimizerIndex.build(subset_store, mapper_cfg, sketches=sketches)
 
     for rid, seq in subset_store.items():
         rname = subset_store.registry.name(rid)
-        for m in map_read(index, seq, mapper_cfg):
+        for m in map_read(index, seq, mapper_cfg, sketch=sketches[rid]):
             oname = subset_store.registry.name(m.unitig)
             if oname == rname:
                 continue
