@@ -27,6 +27,11 @@ import time
 
 import numpy as np
 
+# persistent compilation cache: the remote Mosaic compile of the Pallas
+# kernel can take many minutes; cache it across processes/runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 CHAIN_B, CHAIN_K = 2048, 64
 ALIGN_P, ALIGN_L, ALIGN_BAND = 512, 2000, 256
 ITERS = 10
@@ -132,6 +137,11 @@ def main() -> None:
         print(_bench_align(use_pallas=False, latency=latency))
         return
 
+    if "--pallas-probe" in sys.argv:
+        latency = _sync_latency()
+        print(_bench_align(use_pallas=True, latency=latency))
+        return
+
     import jax
 
     backend = jax.devices()[0].platform
@@ -139,9 +149,29 @@ def main() -> None:
     latency = _sync_latency()
     print(f"[bench] sync latency: {latency*1e3:.1f} ms", file=sys.stderr)
 
-    align_cells_per_s = _bench_align(use_pallas=on_tpu, latency=latency)
+    # the Pallas kernel's remote Mosaic compile can be pathologically
+    # slow through the tunnel: probe it in a subprocess with a watchdog
+    # and fall back to the XLA formulation if it doesn't finish in time
+    align_cells_per_s = None
+    kernel_name = "xla"
+    if on_tpu:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pallas-probe"],
+                capture_output=True,
+                text=True,
+                timeout=1500,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            align_cells_per_s = float(proc.stdout.strip().splitlines()[-1])
+            kernel_name = "pallas"
+        except Exception as exc:
+            print(f"[bench] pallas probe failed/timed out: {exc}", file=sys.stderr)
+    if align_cells_per_s is None:
+        align_cells_per_s = _bench_align(use_pallas=False, latency=latency)
+
     print(
-        f"[bench] banded DP ({'pallas' if on_tpu else 'xla'}) on {backend}: "
+        f"[bench] banded DP ({kernel_name}) on {backend}: "
         f"{align_cells_per_s/1e9:.1f} G band-cells/s",
         file=sys.stderr,
     )

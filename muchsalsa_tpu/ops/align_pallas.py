@@ -32,8 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from muchsalsa_tpu.ops.align import INF
 
-_SUB = 64  # problems per sublane tile (amortizes lane-roll issue cost;
-#            measured 3.6 / 12.2 / 17.5 G cells/s at SUB = 8 / 32 / 64)
+# problems per sublane tile: amortizes lane-roll issue cost (measured
+# 3.6 / 12.2 / 17.5 G cells/s at SUB = 8 / 32 / 64 on a stripped kernel)
+# — but SUB=64 makes the remote Mosaic compile pathologically slow
+# (>25 min), so 32 is the reliable production setting
+_SUB = 32
 
 
 def _prefix_min_lanes(x: jnp.ndarray, B: int) -> jnp.ndarray:
