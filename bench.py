@@ -4,11 +4,14 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric: banded edit-distance DP throughput of the Pallas
-wavefront kernel (band-cells updated per second — the DP GCUPS figure
-named in BASELINE.json), versus the identical XLA computation on this
-host's CPU (the stand-in for the reference's CPU path — the C++
+Headline metric: exact edit-distance throughput of the batched Myers
+bit-parallel kernel in GCUPS (billions of DP cell updates per second —
+the figure named in BASELINE.json), versus the identical computation on
+this host's CPU (the stand-in for the reference's CPU path — the C++
 reference cannot be built here: its cmake FetchContent needs network).
+
+Secondary numbers on stderr: the banded wavefront kernels (Pallas +
+XLA) and the anchor-chaining DP.
 
 Timing methodology: the device sits behind an async tunnel where
 ``block_until_ready`` returns immediately and host transfers are slow,
@@ -69,13 +72,8 @@ def _timed_loop(loop_fn, args, latency: float, iters: int = ITERS) -> float:
     return max(best - latency, 1e-9) / iters
 
 
-def _bench_align(use_pallas: bool, latency: float) -> float:
-    """Banded-DP band-cells/s on the active backend."""
-    import jax
-    import jax.numpy as jnp
-
-    from muchsalsa_tpu.ops.align import banded_edit_distance, pack_problems
-    from muchsalsa_tpu.ops.align_pallas import banded_edit_distance_pallas
+def _align_problems():
+    from muchsalsa_tpu.ops.align import pack_problems
     from muchsalsa_tpu.testing.simulate import random_genome
 
     rng = np.random.default_rng(0)
@@ -87,7 +85,40 @@ def _bench_align(use_pallas: bool, latency: float) -> float:
         flip = rng.random(len(t)) < 0.1
         t[flip] = bases[rng.integers(0, 4, int(flip.sum()))]
         pairs.append((q, t.tobytes()))
-    q_codes, q_lens, t_codes, t_lens = pack_problems(pairs)
+    return pack_problems(pairs)
+
+
+def _bench_myers(latency: float) -> float:
+    """Exact edit-distance GCUPS (full m*n matrix) on the active backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from muchsalsa_tpu.ops.myers_jax import myers_edit_distance
+
+    q_codes, q_lens, t_codes, t_lens = _align_problems()
+
+    def loop(q_codes, q_lens, t_codes, t_lens):
+        def body(i, acc):
+            bump = jnp.where(acc > 1e30, 1, 0).astype(q_lens.dtype)
+            out = myers_edit_distance(q_codes, q_lens + bump, t_codes, t_lens)
+            return acc + jnp.sum(out).astype(jnp.float32) * 1e-20
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+
+    dt = _timed_loop(loop, (q_codes, q_lens, t_codes, t_lens), latency)
+    cells = ALIGN_P * ALIGN_L * t_codes.shape[1]
+    return cells / dt
+
+
+def _bench_align(use_pallas: bool, latency: float) -> float:
+    """Banded-DP band-cells/s on the active backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from muchsalsa_tpu.ops.align import banded_edit_distance
+    from muchsalsa_tpu.ops.align_pallas import banded_edit_distance_pallas
+
+    q_codes, q_lens, t_codes, t_lens = _align_problems()
     fn = banded_edit_distance_pallas if use_pallas else banded_edit_distance
 
     def loop(q_codes, q_lens, t_codes, t_lens):
@@ -134,7 +165,7 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
         latency = _sync_latency()
-        print(_bench_align(use_pallas=False, latency=latency))
+        print(_bench_myers(latency))
         return
 
     if "--pallas-probe" in sys.argv:
@@ -149,37 +180,36 @@ def main() -> None:
     latency = _sync_latency()
     print(f"[bench] sync latency: {latency*1e3:.1f} ms", file=sys.stderr)
 
-    # the Pallas kernel's remote Mosaic compile can be pathologically
-    # slow through the tunnel: probe it in a subprocess with a watchdog
-    # and fall back to the XLA formulation if it doesn't finish in time
-    align_cells_per_s = None
-    kernel_name = "xla"
-    if on_tpu:
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--pallas-probe"],
-                capture_output=True,
-                text=True,
-                timeout=1500,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            align_cells_per_s = float(proc.stdout.strip().splitlines()[-1])
-            kernel_name = "pallas"
-        except Exception as exc:
-            print(f"[bench] pallas probe failed/timed out: {exc}", file=sys.stderr)
-    if align_cells_per_s is None:
-        align_cells_per_s = _bench_align(use_pallas=False, latency=latency)
-
+    myers_cells_per_s = _bench_myers(latency)
     print(
-        f"[bench] banded DP ({kernel_name}) on {backend}: "
-        f"{align_cells_per_s/1e9:.1f} G band-cells/s",
+        f"[bench] Myers exact DP on {backend}: {myers_cells_per_s/1e9:.1f} GCUPS",
         file=sys.stderr,
     )
+
     chain_pairs_per_s = _bench_chain_dp(latency)
     print(
         f"[bench] chain DP on {backend}: {chain_pairs_per_s/1e9:.3f} G pairs/s",
         file=sys.stderr,
     )
+
+    # secondary: banded wavefront (Pallas compile through the remote
+    # tunnel can stall — probe in a subprocess with a watchdog)
+    if on_tpu and "--skip-pallas" not in sys.argv:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pallas-probe"],
+                capture_output=True,
+                text=True,
+                timeout=1200,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            band_cells = float(proc.stdout.strip().splitlines()[-1])
+            print(
+                f"[bench] banded wavefront (pallas): {band_cells/1e9:.1f} G band-cells/s",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"[bench] pallas probe failed/timed out: {exc}", file=sys.stderr)
 
     # CPU baseline in a subprocess (platform selection is process-global)
     try:
@@ -192,10 +222,10 @@ def main() -> None:
         )
         cpu_cells_per_s = float(proc.stdout.strip().splitlines()[-1])
         print(
-            f"[bench] banded DP (xla) on cpu: {cpu_cells_per_s/1e9:.3f} G band-cells/s",
+            f"[bench] Myers exact DP on cpu: {cpu_cells_per_s/1e9:.3f} GCUPS",
             file=sys.stderr,
         )
-        vs_baseline = align_cells_per_s / cpu_cells_per_s
+        vs_baseline = myers_cells_per_s / cpu_cells_per_s
     except Exception as exc:  # baseline failure shouldn't kill the bench
         print(f"[bench] cpu baseline failed: {exc}", file=sys.stderr)
         vs_baseline = 1.0
@@ -203,8 +233,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "banded_dp_band_cells_per_s",
-                "value": round(align_cells_per_s, 1),
+                "metric": "myers_edit_distance_gcups",
+                "value": round(myers_cells_per_s, 1),
                 "unit": "cells/s",
                 "vs_baseline": round(vs_baseline, 3),
             }

@@ -1,0 +1,165 @@
+"""Batched Myers bit-parallel edit distance for the device (XLA).
+
+Word-sliced Myers 1999 / Edlib-style block computation, data-parallel
+over problems: the pattern's 32-bit words live on a (P, W) lane axis,
+one ``lax.scan`` step per text column.  Cross-word structure per column:
+
+- the block addition is word-local (carries flow between words only
+  through the horizontal deltas), so no multi-word carry chain;
+- each word's horizontal output ``hout`` depends on its horizontal
+  input ``hin`` *only* through the ``Eq |= (hin < 0)`` bit, so two
+  evaluations (hin >= 0 / hin < 0) cover all cases and the hin chain
+  resolves with a log2(W) function-composition scan over 2-variant
+  maps;
+- the score is tracked at pattern bit (m-1) of word (m-1)//32 with
+  per-problem one-hot selection.
+
+~60 vector ops per column on (P, W) arrays versus ~20 per row on the
+(P, B) wavefront — at 32 DP cells per lane-word this is the
+throughput kernel; exactness is verified against the oracle and the
+scalar prototypes in ``tests/test_myers.py``.  Unlike the banded
+wavefront it computes the *unbanded* distance (no band guard needed).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+W_BITS = 32
+_ONE = np.uint32(1)
+_TOP = np.uint32(0x80000000)
+_FULL = np.uint32(0xFFFFFFFF)
+
+
+def _pack_peq(q_codes: jnp.ndarray, n_words: int) -> jnp.ndarray:
+    """(P, M) codes -> PEq (P, 4, W) uint32 bit masks."""
+    P, M = q_codes.shape
+    Mp = n_words * W_BITS
+    pad = jnp.full((P, Mp - M), 5, dtype=q_codes.dtype) if Mp > M else None
+    qp = jnp.concatenate([q_codes, pad], axis=1) if pad is not None else q_codes
+    qp = qp.reshape(P, n_words, W_BITS)
+    weights = (_ONE << jnp.arange(W_BITS, dtype=jnp.uint32))  # bit i%32
+    peq = []
+    for c in range(4):
+        bits = (qp == c).astype(jnp.uint32)
+        peq.append(jnp.sum(bits * weights[None, None, :], axis=2, dtype=jnp.uint32))
+    return jnp.stack(peq, axis=1)  # (P, 4, W)
+
+
+def _half_step(eq, vp, vn):
+    """Myers block core for a fixed Eq: returns (xv, xh, ph, mh)."""
+    xv = eq | vn
+    a = eq & vp
+    xh = (((a + vp) & _FULL) ^ vp) | eq
+    ph = vn | (~(xh | vp) & _FULL)
+    mh = vp & xh
+    return xv, ph, mh
+
+
+@partial(jax.jit, static_argnames=("max_n",))
+def myers_edit_distance(
+    q_codes: jnp.ndarray,   # (P, M) uint8/int32, pad = 5
+    q_lens: jnp.ndarray,    # (P,)
+    t_codes: jnp.ndarray,   # (P, N) uint8/int32, pad = 4
+    t_lens: jnp.ndarray,    # (P,)
+    max_n: int | None = None,
+):
+    """Batched exact (unbanded) edit distance.  Returns (P,) int32."""
+    P, M = q_codes.shape
+    N = t_codes.shape[1]
+    cols = max_n if max_n is not None else N
+    n_words = max((M + W_BITS - 1) // W_BITS, 1)
+
+    peq = _pack_peq(q_codes, n_words)              # (P, 4, W)
+    m = q_lens.astype(jnp.int32)
+    n = t_lens.astype(jnp.int32)
+
+    last_word = jnp.maximum(m - 1, 0) // W_BITS    # (P,)
+    last_bit = (jnp.maximum(m - 1, 0) % W_BITS).astype(jnp.uint32)
+    word_idx = jnp.arange(n_words)[None, :]        # (1, W)
+    lw_mask = word_idx == last_word[:, None]       # (P, W)
+
+    t32 = t_codes.astype(jnp.int32)
+
+    vp0 = jnp.full((P, n_words), _FULL, dtype=jnp.uint32)
+    vn0 = jnp.zeros((P, n_words), dtype=jnp.uint32)
+    score0 = m.astype(jnp.int32)
+
+    def column(carry, j):
+        vp, vn, score = carry
+        c = jax.lax.dynamic_slice_in_dim(t32, j, 1, axis=1)  # (P, 1)
+        eq = jnp.where(
+            c == 0, peq[:, 0],
+            jnp.where(c == 1, peq[:, 1],
+                      jnp.where(c == 2, peq[:, 2],
+                                jnp.where(c == 3, peq[:, 3], jnp.uint32(0)))),
+        )  # (P, W)
+
+        # two hin classes: >= 0 (eq as-is) and < 0 (eq | 1)
+        xv_a, ph_a, mh_a = _half_step(eq, vp, vn)
+        eq_b = eq | _ONE
+        xv_b, ph_b, mh_b = _half_step(eq_b, vp, vn)
+
+        def hout_of(ph, mh):
+            return jnp.where(
+                (ph & _TOP) != 0, 1, jnp.where((mh & _TOP) != 0, -1, 0)
+            ).astype(jnp.int32)
+
+        hout_a = hout_of(ph_a, mh_a)  # hin >= 0
+        hout_b = hout_of(ph_b, mh_b)  # hin < 0
+
+        # resolve the hin chain: represent each word's map by the pair
+        # (out_if_hin_neg, out_if_hin_nonneg) and compose with a scan
+        def compose(f, g):
+            # g after f: pick g's branch by f's output sign
+            f_neg, f_nn = f
+            g_neg, g_nn = g
+            return (
+                jnp.where(f_neg < 0, g_neg, g_nn),
+                jnp.where(f_nn < 0, g_neg, g_nn),
+            )
+
+        maps = (hout_b, hout_a)
+        comp = jax.lax.associative_scan(compose, maps, axis=1)
+        # hin of word w = (f_{w-1} ∘ ... ∘ f_0)(+1); boundary hin_0 = +1
+        hin_nn = comp[1]  # (P, W): output after words 0..w given +1 input
+        hin = jnp.concatenate(
+            [jnp.ones((P, 1), jnp.int32), hin_nn[:, :-1]], axis=1
+        )
+
+        neg = hin < 0
+        pos = hin > 0
+        xv = jnp.where(neg, xv_b, xv_a)
+        ph = jnp.where(neg, ph_b, ph_a)
+        mh = jnp.where(neg, mh_b, mh_a)
+
+        # score step at pattern bit (m-1) of the last word, pre-shift
+        ph_l = jnp.sum(jnp.where(lw_mask, ph, jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+        mh_l = jnp.sum(jnp.where(lw_mask, mh, jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+        up = ((ph_l >> last_bit) & _ONE).astype(jnp.int32)
+        dn = ((mh_l >> last_bit) & _ONE).astype(jnp.int32)
+        delta = up - dn
+
+        ph = (ph << _ONE) | jnp.where(pos, _ONE, jnp.uint32(0))
+        mh = (mh << _ONE) | jnp.where(neg, _ONE, jnp.uint32(0))
+
+        vp_n = mh | (~(xv | ph) & _FULL)
+        vn_n = ph & xv
+
+        active = (j < n) & (m > 0)  # (P,)
+        act_w = active[:, None]
+        vp = jnp.where(act_w, vp_n, vp)
+        vn = jnp.where(act_w, vn_n, vn)
+        score = jnp.where(active, score + delta, score)
+        return (vp, vn, score), None
+
+    (vp, vn, score), _ = jax.lax.scan(
+        column, (vp0, vn0, score0), jnp.arange(cols)
+    )
+    # m == 0: distance is n
+    return jnp.where(m > 0, score, n).astype(jnp.int32)

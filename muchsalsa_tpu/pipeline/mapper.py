@@ -258,20 +258,23 @@ def refine_mappings(
     unitigs: SequenceStore,
     band: int = 256,
     use_pallas: bool | None = None,
+    engine: str = "myers",
 ) -> None:
     """Alignment-refined match counts (the reference's ``minimap2 -c
-    --eqx`` stage, pipeline.sh:175): batch banded edit-distance of every
-    mapped region on the device and replace each mapping's heuristic
+    --eqx`` stage, pipeline.sh:175): batch edit-distance of every mapped
+    region on the device and replace each mapping's heuristic
     ``matches`` with ``max(span) - edits`` (a true alignment-based count).
-    Mappings whose length difference exceeds the band are left unrefined.
+
+    ``engine``: "myers" (default — exact bit-parallel, no band guard) or
+    "wavefront" (banded; ``use_pallas`` picks the kernel, mappings whose
+    length difference exceeds ``band`` are left unrefined).
 
     ``mappings_per_read``: list of (read_id, [Mapping...]); mutated in place.
     """
-    import jax
-
-    from muchsalsa_tpu.ops.align import banded_edit_distance, pack_problems
+    from muchsalsa_tpu.ops.align import pack_problems
     from muchsalsa_tpu.utils.seq import reverse_complement
 
+    banded = engine != "myers"
     pairs = []
     slots = []
     for rid, maps in mappings_per_read:
@@ -281,25 +284,31 @@ def refine_mappings(
             t = read_seq[m.t_start : m.t_end]
             if not m.strand:
                 t = reverse_complement(t)
-            if abs(len(q) - len(t)) >= band:
+            if banded and abs(len(q) - len(t)) >= band:
                 continue
             pairs.append((q, t))
             slots.append(m)
     if not pairs:
         return
 
-    if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
-
     args = pack_problems(pairs)
-    if use_pallas:
-        from muchsalsa_tpu.ops.align_pallas import banded_edit_distance_pallas
+    if not banded:
+        from muchsalsa_tpu.ops.myers_jax import myers_edit_distance
 
-        dists = banded_edit_distance_pallas(*args, band=band)
+        dists = myers_edit_distance(*args)
     else:
-        dists = banded_edit_distance(*args, band=band)
+        import jax
 
-    import numpy as np
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        if use_pallas:
+            from muchsalsa_tpu.ops.align_pallas import banded_edit_distance_pallas
+
+            dists = banded_edit_distance_pallas(*args, band=band)
+        else:
+            from muchsalsa_tpu.ops.align import banded_edit_distance
+
+            dists = banded_edit_distance(*args, band=band)
 
     dists = np.asarray(dists)
     for m, (q, t), d in zip(slots, pairs, dists):
