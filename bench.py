@@ -57,7 +57,7 @@ def _sync_latency() -> float:
     return best
 
 
-def _timed_loop(loop_fn, args, latency: float, iters: int = ITERS) -> float:
+def _timed_loop(loop_fn, args, latency: float, iters: int = ITERS, reps: int = 2) -> float:
     """Seconds per iteration of ``loop_fn`` (jitted, runs ``iters``
     chained iterations internally, returns a scalar)."""
     import jax
@@ -65,21 +65,21 @@ def _timed_loop(loop_fn, args, latency: float, iters: int = ITERS) -> float:
     f = jax.jit(loop_fn)
     _ = np.asarray(f(*args))  # compile + warm
     best = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.perf_counter()
         _ = np.asarray(f(*args))
         best = min(best, time.perf_counter() - t0)
     return max(best - latency, 1e-9) / iters
 
 
-def _align_problems():
+def _align_problems(n_problems: int = ALIGN_P):
     from muchsalsa_tpu.ops.align import pack_problems
     from muchsalsa_tpu.testing.simulate import random_genome
 
     rng = np.random.default_rng(0)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     pairs = []
-    for _ in range(ALIGN_P):
+    for _ in range(n_problems):
         q = random_genome(rng, ALIGN_L)
         t = np.frombuffer(q, dtype=np.uint8).copy()
         flip = rng.random(len(t)) < 0.1
@@ -88,14 +88,14 @@ def _align_problems():
     return pack_problems(pairs)
 
 
-def _bench_myers(latency: float) -> float:
+def _bench_myers(latency: float, n_problems: int = ALIGN_P, iters: int = ITERS) -> float:
     """Exact edit-distance GCUPS (full m*n matrix) on the active backend."""
     import jax
     import jax.numpy as jnp
 
     from muchsalsa_tpu.ops.myers_jax import myers_edit_distance
 
-    q_codes, q_lens, t_codes, t_lens = _align_problems()
+    q_codes, q_lens, t_codes, t_lens = _align_problems(n_problems)
 
     def loop(q_codes, q_lens, t_codes, t_lens):
         def body(i, acc):
@@ -103,10 +103,10 @@ def _bench_myers(latency: float) -> float:
             out = myers_edit_distance(q_codes, q_lens + bump, t_codes, t_lens)
             return acc + jnp.sum(out).astype(jnp.float32) * 1e-20
 
-        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
-    dt = _timed_loop(loop, (q_codes, q_lens, t_codes, t_lens), latency)
-    cells = ALIGN_P * ALIGN_L * t_codes.shape[1]
+    dt = _timed_loop(loop, (q_codes, q_lens, t_codes, t_lens), latency, iters)
+    cells = n_problems * ALIGN_L * t_codes.shape[1]
     return cells / dt
 
 
@@ -165,7 +165,8 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
         latency = _sync_latency()
-        print(_bench_myers(latency))
+        # smaller workload: full-size Myers on this CPU takes ~30s/iter
+        print(_bench_myers(latency, n_problems=32, iters=2))
         return
 
     if "--pallas-probe" in sys.argv:
@@ -192,9 +193,9 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # secondary: banded wavefront (Pallas compile through the remote
-    # tunnel can stall — probe in a subprocess with a watchdog)
-    if on_tpu and "--skip-pallas" not in sys.argv:
+    # secondary: banded wavefront (opt-in — the Pallas remote Mosaic
+    # compile can take ~10 min through the tunnel; watchdogged subprocess)
+    if on_tpu and "--with-pallas" in sys.argv:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--pallas-probe"],
