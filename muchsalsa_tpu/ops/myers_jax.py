@@ -86,8 +86,10 @@ def myers_edit_distance(
 
     t32 = t_codes.astype(jnp.int32)
 
-    vp0 = jnp.full((P, n_words), _FULL, dtype=jnp.uint32)
-    vn0 = jnp.zeros((P, n_words), dtype=jnp.uint32)
+    # derive the initial carry from the inputs (not fresh constants) so
+    # the varying-axis metadata matches under shard_map
+    vp0 = jnp.full_like(peq[:, 0], _FULL)
+    vn0 = jnp.zeros_like(peq[:, 0])
     score0 = m.astype(jnp.int32)
 
     def column(carry, j):

@@ -83,3 +83,24 @@ def sharded_anchor_counts(
         return counts, jax.lax.psum(stats, axis)
 
     return jax.jit(step)(codes, lens, index_hashes)
+
+
+def sharded_myers(
+    q_codes, q_lens, t_codes, t_lens, mesh: Mesh, axis: str = "reads"
+):
+    """Data-parallel exact edit distance over the mesh: alignment
+    problems shard over devices; global edit-mass psum-merged."""
+    from muchsalsa_tpu.ops.myers_jax import myers_edit_distance
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+    )
+    def step(q, ql, t, tl):
+        d = myers_edit_distance(q, ql, t, tl)
+        total = jax.lax.psum(jnp.sum(d).astype(jnp.float32), axis)
+        return d, total
+
+    return jax.jit(step)(q_codes, q_lens, t_codes, t_lens)

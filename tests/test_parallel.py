@@ -81,3 +81,22 @@ def test_sharded_anchor_counts(rng):
     counts, stats = sharded_anchor_counts(codes, lens, index, mesh, 15, 5)
     np.testing.assert_array_equal(np.asarray(counts), ref)
     assert int(np.asarray(stats)[1]) == int(ref.sum())
+
+
+def test_sharded_myers(rng):
+    from muchsalsa_tpu.ops.align import edit_distance_np, pack_problems
+    from muchsalsa_tpu.parallel.sharded import sharded_myers
+    from muchsalsa_tpu.testing.simulate import random_genome
+    from tests.test_align import mutate
+
+    pairs = []
+    for _ in range(8):
+        q = random_genome(rng, int(rng.integers(40, 120)))
+        pairs.append((q, mutate(rng, q, 0.1)))
+    args = pack_problems(pairs)
+    expected = np.array([edit_distance_np(q, t) for q, t in pairs])
+
+    mesh = make_mesh()
+    d, total = sharded_myers(*args, mesh)
+    np.testing.assert_array_equal(np.asarray(d), expected)
+    assert int(np.asarray(total)) == int(expected.sum())
