@@ -89,9 +89,7 @@ class MinimizerIndex:
         counts = np.diff(offsets)
         keep = counts <= cfg.max_occ
         if not np.all(keep):
-            keep_rows = np.zeros(len(h), dtype=bool)
-            for i in np.nonzero(keep)[0]:
-                keep_rows[offsets[i] : offsets[i + 1]] = True
+            keep_rows = np.repeat(keep, counts)
             h, u, p, s = h[keep_rows], u[keep_rows], p[keep_rows], s[keep_rows]
             uniq, starts = np.unique(h, return_index=True)
             offsets = np.concatenate([starts, [len(h)]]).astype(np.int64)
@@ -168,48 +166,56 @@ def map_read(
     arel = index.entry_strand[src] == np.repeat(strand[hit_idx], counts)
 
     k = index.k
-    results: list[Mapping] = []
 
-    # group by (unitig, relative strand)
+    # fully vectorised chaining: one global sort by ((unitig, strand),
+    # diagonal), band segmentation by diagonal gaps, and per-segment
+    # stats via ufunc.reduceat — no per-group Python
     key = au.astype(np.int64) * 2 + arel
-    order = np.argsort(key, kind="stable")
+    diag = np.where(arel, at - aq, at + aq)
+    order = np.lexsort((diag, key))
     key_s = key[order]
-    bounds = np.nonzero(np.diff(key_s))[0] + 1
-    group_starts = np.concatenate([[0], bounds])
-    group_ends = np.concatenate([bounds, [len(key_s)]])
+    diag_s = diag[order]
+    q_s = aq[order]
+    t_s = at[order]
 
-    for gs, ge in zip(group_starts, group_ends):
-        rows = order[gs:ge]
-        uid = int(au[rows[0]])
-        rel = bool(arel[rows[0]])
-        q = aq[rows]
-        t = at[rows]
-        diag = t - q if rel else t + q
-        d_order = np.argsort(diag, kind="stable")
-        q, t, diag = q[d_order], t[d_order], diag[d_order]
-        # split into diagonal bands
-        splits = np.nonzero(np.diff(diag) > cfg.bandwidth)[0] + 1
-        seg_starts = np.concatenate([[0], splits])
-        seg_ends = np.concatenate([splits, [len(diag)]])
-        for ss, se in zip(seg_starts, seg_ends):
-            if se - ss < cfg.min_anchor_count:
-                continue
-            qs_, ts_ = q[ss:se], t[ss:se]
-            matches = _covered(ts_, k)
-            if matches < cfg.min_chain_score:
-                continue
-            results.append(
-                Mapping(
-                    unitig=uid,
-                    strand=rel,
-                    q_start=int(qs_.min()),
-                    q_end=int(qs_.max()) + k,
-                    t_start=int(ts_.min()),
-                    t_end=int(ts_.max()) + k,
-                    matches=matches,
-                    n_anchors=int(se - ss),
-                )
+    n_a = len(order)
+    new_seg = np.ones(n_a, dtype=bool)
+    new_seg[1:] = (key_s[1:] != key_s[:-1]) | (np.diff(diag_s) > cfg.bandwidth)
+    starts = np.nonzero(new_seg)[0]
+    seg_counts = np.diff(np.concatenate([starts, [n_a]]))
+
+    q_min = np.minimum.reduceat(q_s, starts)
+    q_max = np.maximum.reduceat(q_s, starts)
+    t_min = np.minimum.reduceat(t_s, starts)
+    t_max = np.maximum.reduceat(t_s, starts)
+
+    # covered read bases per segment: sort anchors by (segment, t),
+    # clip consecutive gaps at k, zero gaps crossing segment bounds
+    seg_ids = np.cumsum(new_seg) - 1
+    order2 = np.lexsort((t_s, seg_ids))
+    t2 = t_s[order2]
+    gaps = np.minimum(np.diff(t2), k) if n_a > 1 else np.zeros(0, dtype=np.int64)
+    gaps = np.concatenate([[0], gaps])
+    gaps[starts] = 0  # first element of each segment contributes k below
+    covered = k + np.add.reduceat(gaps, starts) - gaps[starts]
+
+    ok = (seg_counts >= cfg.min_anchor_count) & (covered >= cfg.min_chain_score)
+
+    results: list[Mapping] = []
+    for i in np.nonzero(ok)[0]:
+        s0 = starts[i]
+        results.append(
+            Mapping(
+                unitig=int(key_s[s0] // 2),
+                strand=bool(key_s[s0] % 2),
+                q_start=int(q_min[i]),
+                q_end=int(q_max[i]) + k,
+                t_start=int(t_min[i]),
+                t_end=int(t_max[i]) + k,
+                matches=int(covered[i]),
+                n_anchors=int(seg_counts[i]),
             )
+        )
 
     return results
 
