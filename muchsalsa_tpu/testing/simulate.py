@@ -75,27 +75,28 @@ def simulate(
 
 
 def add_noise(rng: np.random.Generator, seq: bytes, error_rate: float) -> bytes:
-    """Nanopore-style noise: equal parts substitution/insertion/deletion."""
+    """Nanopore-style noise: equal parts substitution/insertion/deletion
+    (vectorised)."""
     if error_rate <= 0:
         return seq
     arr = np.frombuffer(seq, dtype=np.uint8)
-    out = bytearray()
-    r = rng.random(len(arr))
-    ins_base = _BASES[rng.integers(0, 4, len(arr))]
-    sub_base = _BASES[rng.integers(0, 4, len(arr))]
+    n = len(arr)
+    r = rng.random(n)
     third = error_rate / 3
-    for i, b in enumerate(arr):
-        x = r[i]
-        if x < third:
-            continue  # deletion
-        if x < 2 * third:
-            out.append(sub_base[i])  # substitution
-        elif x < error_rate:
-            out.append(b)
-            out.append(ins_base[i])  # insertion
-        else:
-            out.append(b)
-    return bytes(out)
+    deleted = r < third
+    subbed = (r >= third) & (r < 2 * third)
+    inserted = (r >= 2 * third) & (r < error_rate)
+
+    sub_base = _BASES[rng.integers(0, 4, n)]
+    ins_base = _BASES[rng.integers(0, 4, n)]
+
+    counts = np.where(deleted, 0, np.where(inserted, 2, 1))
+    offsets = np.cumsum(counts) - counts
+    out = np.empty(int(counts.sum()), dtype=np.uint8)
+    kept = ~deleted
+    out[offsets[kept]] = np.where(subbed, sub_base, arr)[kept]
+    out[offsets[inserted] + 1] = ins_base[inserted]
+    return out.tobytes()
 
 
 def illumina_pairs(
