@@ -135,6 +135,34 @@ def _bench_align(use_pallas: bool, latency: float) -> float:
     return cells / dt
 
 
+SEED_R, SEED_L = 512, 10_240
+
+
+def _bench_seeding(latency: float) -> float:
+    """Device mapping-lookup stage: minimizer sketch + replicated-index
+    join; returns reads/s (10kb nanopore-length reads)."""
+    import jax
+    import jax.numpy as jnp
+
+    from muchsalsa_tpu.ops.minimizer_jax import anchor_counts_bitmap, build_hash_bitmap
+
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 4, (SEED_R, SEED_L)).astype(np.uint8))
+    lens = jnp.asarray(np.full(SEED_R, SEED_L, dtype=np.int32))
+    bitmap = build_hash_bitmap(rng.integers(0, 1 << 32, 1 << 20, dtype=np.uint32))
+
+    def loop(codes, lens, bitmap):
+        def body(i, acc):
+            bump = jnp.where(acc > 1e30, 1, 0).astype(lens.dtype)
+            counts = anchor_counts_bitmap(codes, lens + bump, bitmap)
+            return acc + jnp.sum(counts).astype(jnp.float32) * 1e-20
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+
+    dt = _timed_loop(loop, (codes, lens, bitmap), latency)
+    return SEED_R / dt
+
+
 def _bench_chain_dp(latency: float) -> float:
     """Anchor-pairs/s for the chaining DP on the active backend."""
     import jax
@@ -190,6 +218,13 @@ def main() -> None:
     chain_pairs_per_s = _bench_chain_dp(latency)
     print(
         f"[bench] chain DP on {backend}: {chain_pairs_per_s/1e9:.3f} G pairs/s",
+        file=sys.stderr,
+    )
+
+    seed_reads_per_s = _bench_seeding(latency)
+    print(
+        f"[bench] mapping seed+join on {backend}: {seed_reads_per_s:.0f} reads/s "
+        f"(10kb reads, 1M-entry index)",
         file=sys.stderr,
     )
 

@@ -88,6 +88,47 @@ def minimizer_sketch(codes: jnp.ndarray, lens: jnp.ndarray, k: int = 15, w: int 
     return selected, h, strand
 
 
+_ONE = jnp.uint32(1)
+
+BITMAP_LOG2_BITS = 28  # 32 MB bitmap; FP rate = |index| / 2^28
+
+
+def build_hash_bitmap(index_hashes, log2_bits: int = BITMAP_LOG2_BITS):
+    """Occupancy bitmap over (folded) minimizer hashes for O(1) device
+    membership probes (vs the log-n gather chain of searchsorted).
+    Built host-side (scatter-OR); returns a device array."""
+    import numpy as _np
+
+    h = _np.asarray(index_hashes, dtype=_np.uint32)
+    folded = h & _np.uint32((1 << log2_bits) - 1)
+    word = (folded >> _np.uint32(5)).astype(_np.int64)
+    bit = (folded & _np.uint32(31)).astype(_np.uint32)
+    table = _np.zeros(1 << (log2_bits - 5), dtype=_np.uint32)
+    _np.bitwise_or.at(table, word, _np.uint32(1) << bit)
+    return jnp.asarray(table)
+
+
+@partial(jax.jit, static_argnames=("k", "w", "log2_bits"))
+def anchor_counts_bitmap(
+    codes: jnp.ndarray,
+    lens: jnp.ndarray,
+    bitmap: jnp.ndarray,
+    k: int = 15,
+    w: int = 5,
+    log2_bits: int = BITMAP_LOG2_BITS,
+):
+    """Approximate per-read anchor counts via one bitmap gather per
+    minimizer (false positives = |index| / 2^log2_bits; upper-bounds
+    the exact :func:`anchor_counts`)."""
+    selected, h, _ = minimizer_sketch(codes, lens, k, w)
+    folded = h & jnp.uint32((1 << log2_bits) - 1)
+    word = (folded >> 5).astype(jnp.int32)
+    bit = (folded & 31).astype(jnp.uint32)
+    probe = (bitmap[word] >> bit) & _ONE
+    hit = (probe != 0) & selected
+    return jnp.sum(hit, axis=1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("k", "w"))
 def anchor_counts(
     codes: jnp.ndarray,

@@ -61,3 +61,27 @@ def test_anchor_counts_against_index():
     counts = np.asarray(anchor_counts(codes, lens, index, 15, 5))
     assert counts[0] > 20
     assert counts[1] <= 2  # chance collisions only
+
+
+def test_anchor_counts_bitmap_upper_bounds_exact():
+    from muchsalsa_tpu.ops.minimizer_jax import (
+        anchor_counts_bitmap,
+        build_hash_bitmap,
+    )
+
+    rng = np.random.default_rng(4)
+    genome = random_genome(rng, 8000)
+    unitig = genome[2000:3500]
+    _, hh, _ = minimizers(unitig, 15, 5)
+    index_sorted = jnp.asarray(np.sort(hh))
+    bitmap = build_hash_bitmap(index_sorted)
+
+    reads = [genome[1500:4000], random_genome(np.random.default_rng(5), 2500)]
+    codes, lens = pad_batch(reads)
+    exact = np.asarray(anchor_counts(codes, lens, index_sorted, 15, 5))
+    approx = np.asarray(anchor_counts_bitmap(codes, lens, bitmap, 15, 5))
+    # bitmap may only ADD false positives
+    assert np.all(approx >= exact)
+    # at this scale false positives are essentially zero
+    assert np.all(approx - exact <= 2)
+    assert approx[0] > 20 and approx[1] <= 2
