@@ -149,3 +149,27 @@ def test_scrubbed_output_feeds_mapper():
     ]
     out = scrub_reads(lines, reads, ScrubConfig(subset_size=5), MapperConfig())
     assert out
+
+
+def test_scrub_multiple_subsets():
+    """Force several BFS rounds (subset_size=2) with center eviction."""
+    rng = np.random.default_rng(21)
+    genome = random_genome(rng, 30_000)
+    reads = SequenceStore()
+    lines = []
+    # chain of 8 overlapping reads, each sharing an anchor with the next
+    for i in range(8):
+        s = i * 3000
+        reads.add(f"r{i}", genome[s : s + 6000])
+    for i in range(7):
+        a_s = i * 3000 + 2500
+        lines.append(
+            paf_line(f"u{i}", 1000, 0, 1000, f"r{i}", 6000, 2500, 3500)
+        )
+        lines.append(
+            paf_line(f"u{i}", 1000, 0, 1000, f"r{i+1}", 6000, 0, 1000)
+        )
+    out = scrub_reads(lines, reads, ScrubConfig(subset_size=2), MapperConfig())
+    names = {n.split("_")[0] for n, _ in out}
+    # every read eventually becomes a center and is emitted
+    assert names == {f"r{i}" for i in range(8)}
