@@ -180,3 +180,89 @@ def parse_fasta(data: bytes, is_fastq: bool):
     lib.ms_fasta_free()
     names = names_buf.raw[: int(names_len)].decode().split("\n")
     return names, seq.tobytes(), offsets
+
+
+def _setup_mapper(lib):
+    import ctypes as ct
+
+    u8p = ct.POINTER(ct.c_uint8)
+    i32p = ct.POINTER(ct.c_int32)
+    i64p = ct.POINTER(ct.c_int64)
+    u32p = ct.POINTER(ct.c_uint32)
+    lib.ms_minimizers.argtypes = [u8p, ct.c_int64, ct.c_int32, ct.c_int32,
+                                  i32p, u32p, u8p]
+    lib.ms_minimizers.restype = ct.c_int64
+    lib.ms_map_read.argtypes = [
+        u8p, ct.c_int64, ct.c_int32, ct.c_int32,
+        u32p, ct.c_int64, i64p, i32p, i32p, u8p,
+        ct.c_int32, ct.c_int32, ct.c_int32,
+        i32p, u8p, i32p, i32p, i32p, i32p, i32p, i32p, ct.c_int64,
+    ]
+    lib.ms_map_read.restype = ct.c_int64
+
+
+def _p(a, typ):
+    import ctypes as ct
+
+    return a.ctypes.data_as(ct.POINTER(typ))
+
+
+def minimizers_native(codes: np.ndarray, k: int, w: int):
+    """Native minimizer sketch; returns (pos, hash, strand) arrays."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_mapper_ready"):
+        _setup_mapper(lib)
+        lib._mapper_ready = True
+    import ctypes as ct
+
+    n = len(codes)
+    pos = np.empty(max(n, 1), dtype=np.int32)
+    h = np.empty(max(n, 1), dtype=np.uint32)
+    strand = np.empty(max(n, 1), dtype=np.uint8)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    cnt = lib.ms_minimizers(
+        _p(codes, ct.c_uint8), n, k, w,
+        _p(pos, ct.c_int32), _p(h, ct.c_uint32), _p(strand, ct.c_uint8),
+    )
+    return pos[:cnt].copy(), h[:cnt].copy(), strand[:cnt].astype(bool)
+
+
+def map_read_native(codes, k, w, idx_hashes, idx_offsets, entry_unitig,
+                    entry_pos, entry_strand, bandwidth, min_anchors, min_chain,
+                    max_out=4096):
+    """Native map_read core; returns dict of result arrays or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_mapper_ready"):
+        _setup_mapper(lib)
+        lib._mapper_ready = True
+    import ctypes as ct
+
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    out = {
+        "unitig": np.empty(max_out, np.int32),
+        "strand": np.empty(max_out, np.uint8),
+        "qs": np.empty(max_out, np.int32),
+        "qe": np.empty(max_out, np.int32),
+        "ts": np.empty(max_out, np.int32),
+        "te": np.empty(max_out, np.int32),
+        "matches": np.empty(max_out, np.int32),
+        "n_anchors": np.empty(max_out, np.int32),
+    }
+    n = lib.ms_map_read(
+        _p(codes, ct.c_uint8), len(codes), k, w,
+        _p(idx_hashes, ct.c_uint32), len(idx_hashes),
+        _p(idx_offsets, ct.c_int64), _p(entry_unitig, ct.c_int32),
+        _p(entry_pos, ct.c_int32),
+        _p(entry_strand.view(np.uint8), ct.c_uint8),
+        bandwidth, min_anchors, min_chain,
+        _p(out["unitig"], ct.c_int32), _p(out["strand"], ct.c_uint8),
+        _p(out["qs"], ct.c_int32), _p(out["qe"], ct.c_int32),
+        _p(out["ts"], ct.c_int32), _p(out["te"], ct.c_int32),
+        _p(out["matches"], ct.c_int32), _p(out["n_anchors"], ct.c_int32),
+        max_out,
+    )
+    return {key: arr[:n] for key, arr in out.items()}

@@ -275,3 +275,178 @@ void ms_fasta_free() {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// native mapper core: minimizer sketch + index lookup + diagonal-band
+// chaining for one read, mirroring pipeline/mapper.py::map_read exactly
+// (same fmix32 hashes, leftmost window minima, band segmentation and
+// covered-bases scoring), one C call per read.
+
+#include <algorithm>
+#include <vector>
+
+static inline uint32_t fmix32(uint32_t x) {
+  x ^= x >> 16;
+  x *= 0x85EBCA6Bu;
+  x ^= x >> 13;
+  x *= 0xC2B2AE35u;
+  x ^= x >> 16;
+  return x;
+}
+
+extern "C" {
+
+// Computes minimizers of `codes` (values 0..3, >=4 invalid).
+// Fills pos/hash/strand arrays; returns count (capacity = len).
+int64_t ms_minimizers(const uint8_t *codes, int64_t len, int32_t k, int32_t w,
+                      int32_t *pos_out, uint32_t *hash_out, uint8_t *strand_out) {
+  if (len < k) return 0;
+  int64_t L = len - k + 1;
+
+  std::vector<uint32_t> hash(L);
+  std::vector<uint8_t> strand(L);
+  std::vector<uint8_t> valid(L);
+
+  uint32_t fwd = 0, rc = 0;
+  int bad = 0;
+  uint32_t mask = (k * 2 >= 32) ? 0xFFFFFFFFu : ((1u << (2 * k)) - 1);
+  for (int64_t i = 0; i < len; ++i) {
+    uint8_t c = codes[i];
+    fwd = ((fwd << 2) | (c & 3)) & mask;
+    rc = (rc >> 2) | (((3u - (c & 3)) & 3u) << (2 * (k - 1)));
+    bad += (c >= 4);
+    if (i >= k) bad -= (codes[i - k] >= 4);
+    if (i >= k - 1) {
+      int64_t p = i - k + 1;
+      uint32_t canon = fwd < rc ? fwd : rc;
+      valid[p] = bad == 0;
+      strand[p] = fwd <= rc;
+      hash[p] = valid[p] ? fmix32(canon) : 0xFFFFFFFFu;
+    }
+  }
+
+  int64_t count = 0;
+  if (L <= w) {
+    int64_t best = 0;
+    for (int64_t i = 1; i < L; ++i)
+      if (hash[i] < hash[best]) best = i;
+    if (valid[best]) {
+      pos_out[count] = static_cast<int32_t>(best);
+      hash_out[count] = hash[best];
+      strand_out[count] = strand[best];
+      ++count;
+    }
+    return count;
+  }
+
+  // leftmost minimum per window; dedup consecutive selections
+  int64_t last_sel = -1;
+  for (int64_t start = 0; start + w <= L; ++start) {
+    int64_t best = start;
+    for (int64_t j = start + 1; j < start + w; ++j)
+      if (hash[j] < hash[best]) best = j;
+    if (best != last_sel && valid[best]) {
+      // positions are emitted in increasing order because windows slide
+      pos_out[count] = static_cast<int32_t>(best);
+      hash_out[count] = hash[best];
+      strand_out[count] = strand[best];
+      ++count;
+      last_sel = best;
+    } else if (best == last_sel) {
+      // already selected
+    }
+  }
+  return count;
+}
+
+struct Anchor {
+  int64_t key;   // unitig*2 + rel
+  int64_t diag;
+  int32_t q;
+  int32_t t;
+};
+
+int64_t ms_map_read(const uint8_t *codes, int64_t len, int32_t k, int32_t w,
+                    const uint32_t *idx_hashes, int64_t n_hashes,
+                    const int64_t *idx_offsets, const int32_t *entry_unitig,
+                    const int32_t *entry_pos, const uint8_t *entry_strand,
+                    int32_t bandwidth, int32_t min_anchors, int32_t min_chain,
+                    int32_t *out_unitig, uint8_t *out_strand, int32_t *out_qs,
+                    int32_t *out_qe, int32_t *out_ts, int32_t *out_te,
+                    int32_t *out_matches, int32_t *out_nanchors,
+                    int64_t max_out) {
+  if (len < k || n_hashes == 0) return 0;
+
+  std::vector<int32_t> mpos(len);
+  std::vector<uint32_t> mhash(len);
+  std::vector<uint8_t> mstrand(len);
+  int64_t n_min = ms_minimizers(codes, len, k, w, mpos.data(), mhash.data(),
+                                mstrand.data());
+
+  std::vector<Anchor> anchors;
+  anchors.reserve(n_min * 2);
+  for (int64_t i = 0; i < n_min; ++i) {
+    const uint32_t *lo =
+        std::lower_bound(idx_hashes, idx_hashes + n_hashes, mhash[i]);
+    if (lo == idx_hashes + n_hashes || *lo != mhash[i]) continue;
+    int64_t b = lo - idx_hashes;
+    for (int64_t e = idx_offsets[b]; e < idx_offsets[b + 1]; ++e) {
+      bool rel = (entry_strand[e] != 0) == (mstrand[i] != 0);
+      Anchor a;
+      a.key = static_cast<int64_t>(entry_unitig[e]) * 2 + (rel ? 1 : 0);
+      a.q = entry_pos[e];
+      a.t = mpos[i];
+      a.diag = rel ? (static_cast<int64_t>(a.t) - a.q)
+                   : (static_cast<int64_t>(a.t) + a.q);
+      anchors.push_back(a);
+    }
+  }
+  if (anchors.empty()) return 0;
+
+  std::sort(anchors.begin(), anchors.end(), [](const Anchor &x, const Anchor &y) {
+    if (x.key != y.key) return x.key < y.key;
+    return x.diag < y.diag;
+  });
+
+  int64_t n_out = 0;
+  std::vector<int32_t> seg_t;
+  int64_t n_a = static_cast<int64_t>(anchors.size());
+  int64_t s = 0;
+  while (s < n_a && n_out < max_out) {
+    int64_t e = s + 1;
+    while (e < n_a && anchors[e].key == anchors[s].key &&
+           anchors[e].diag - anchors[e - 1].diag <= bandwidth)
+      ++e;
+
+    int64_t cnt = e - s;
+    if (cnt >= min_anchors) {
+      int32_t qmin = anchors[s].q, qmax = anchors[s].q;
+      seg_t.clear();
+      for (int64_t i = s; i < e; ++i) {
+        qmin = std::min(qmin, anchors[i].q);
+        qmax = std::max(qmax, anchors[i].q);
+        seg_t.push_back(anchors[i].t);
+      }
+      std::sort(seg_t.begin(), seg_t.end());
+      int64_t covered = k;
+      for (size_t i = 1; i < seg_t.size(); ++i)
+        covered += std::min<int64_t>(seg_t[i] - seg_t[i - 1], k);
+
+      if (covered >= min_chain) {
+        out_unitig[n_out] = static_cast<int32_t>(anchors[s].key / 2);
+        out_strand[n_out] = static_cast<uint8_t>(anchors[s].key % 2);
+        out_qs[n_out] = qmin;
+        out_qe[n_out] = qmax + k;
+        out_ts[n_out] = seg_t.front();
+        out_te[n_out] = seg_t.back() + k;
+        out_matches[n_out] = static_cast<int32_t>(covered);
+        out_nanchors[n_out] = static_cast<int32_t>(cnt);
+        ++n_out;
+      }
+    }
+    s = e;
+  }
+  return n_out;
+}
+
+}  // extern "C"

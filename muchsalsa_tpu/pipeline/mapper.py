@@ -133,7 +133,33 @@ def map_read(
     read_seq: bytes,
     cfg: MapperConfig,
     sketch: tuple | None = None,
+    use_native: bool = True,
 ) -> list[Mapping]:
+    if use_native and sketch is None and index.k <= 15:
+        from muchsalsa_tpu import native
+
+        if native.available():
+            out = native.map_read_native(
+                encode_2bit(read_seq), index.k, index.w,
+                index.hashes, index.offsets, index.entry_unitig,
+                index.entry_pos, index.entry_strand,
+                cfg.bandwidth, cfg.min_anchor_count, cfg.min_chain_score,
+            )
+            if out is not None:
+                return [
+                    Mapping(
+                        unitig=int(out["unitig"][i]),
+                        strand=bool(out["strand"][i]),
+                        q_start=int(out["qs"][i]),
+                        q_end=int(out["qe"][i]),
+                        t_start=int(out["ts"][i]),
+                        t_end=int(out["te"][i]),
+                        matches=int(out["matches"][i]),
+                        n_anchors=int(out["n_anchors"][i]),
+                    )
+                    for i in range(len(out["unitig"]))
+                ]
+
     if sketch is not None:
         pos, h, strand = sketch
     else:

@@ -148,10 +148,13 @@ def _scrub_subset(subset, nodes, adj, remaining, reads, out, scrub_cfg, mapper_c
                 center.discard(u)
                 break
 
-    # all-vs-all overlap of the subset with the native mapper; each
-    # read's minimizer sketch is computed once and reused for index
-    # build and lookup
+    # all-vs-all overlap of the subset with the native mapper; when only
+    # the python path is available, each read's minimizer sketch is
+    # computed once and reused for index build and lookup
+    from muchsalsa_tpu import native
     from muchsalsa_tpu.ops.minimizer import minimizers
+
+    use_native = native.available() and mapper_cfg.k <= 15
 
     subset_store = SequenceStore()
     for name in sorted(subset):
@@ -166,7 +169,10 @@ def _scrub_subset(subset, nodes, adj, remaining, reads, out, scrub_cfg, mapper_c
 
     for rid, seq in subset_store.items():
         rname = subset_store.registry.name(rid)
-        for m in map_read(index, seq, mapper_cfg, sketch=sketches[rid]):
+        for m in map_read(
+            index, seq, mapper_cfg,
+            sketch=None if use_native else sketches[rid],
+        ):
             oname = subset_store.registry.name(m.unitig)
             if oname == rname:
                 continue
