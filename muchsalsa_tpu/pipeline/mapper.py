@@ -246,6 +246,14 @@ def map_read(
     return results
 
 
+_POOL_STATE: dict = {}
+
+
+def _pool_map_one(args):
+    rid, seq = args
+    return rid, map_read(_POOL_STATE["index"], seq, _POOL_STATE["cfg"])
+
+
 def map_all(
     index: MinimizerIndex,
     reads: SequenceStore,
@@ -253,17 +261,32 @@ def map_all(
     unitig_names=None,
     read_names=None,
     unitigs: SequenceStore | None = None,
+    processes: int | None = None,
 ) -> list[str]:
     """Map every read; emit PAF lines (query = unitig, target = read).
 
     With ``cfg.refine`` (and ``unitigs`` provided), match counts are
-    alignment-refined via the banded-DP kernel.
+    alignment-refined via the banded-DP kernel.  ``processes`` > 1
+    fans reads out over a fork-shared worker pool (the index is shared
+    copy-on-write — the host analog of the reference's thread pool).
     """
     lines: list[str] = []
     uname = unitig_names or (lambda uid: f"u{uid}")
     rname = read_names or (lambda rid: f"r{rid}")
 
-    per_read = [(rid, map_read(index, seq, cfg)) for rid, seq in reads.items()]
+    if processes is None:
+        processes = 1
+    if processes > 1:
+        import multiprocessing as mp
+
+        _POOL_STATE["index"] = index
+        _POOL_STATE["cfg"] = cfg
+        ctx = mp.get_context("fork")
+        with ctx.Pool(processes) as pool:
+            per_read = pool.map(_pool_map_one, list(reads.items()), chunksize=64)
+        _POOL_STATE.clear()
+    else:
+        per_read = [(rid, map_read(index, seq, cfg)) for rid, seq in reads.items()]
     if cfg.refine and unitigs is not None:
         refine_mappings(per_read, reads, unitigs, band=cfg.refine_band)
 
