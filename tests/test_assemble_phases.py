@@ -144,3 +144,31 @@ def test_linearize_branching_peels_best_first():
     d = make_digraph(edges)
     paths = linearize_graph(d)
     assert list(range(10)) in paths
+
+
+def test_linearize_joins_paths_through_shadow_edge():
+    # two long chains A: 0..9, B: 10..19, with a shadow edge from near
+    # A's end (8) to near B's start (11): distance (1 + 1) <= 3 -> join
+    edges = [(i, i + 1) for i in range(9)] + [(i, i + 1) for i in range(10, 19)]
+    d = make_digraph(edges)
+    se = d.add_edge(8, 11)
+    se.shadow = True
+    paths = linearize_graph(d)
+    joined = [p for p in paths if 0 in p and 19 in p]
+    assert joined, f"no joined path in {paths}"
+    p = joined[0]
+    # join splices A up to vertex 8 with B from vertex 11
+    assert p[:9] == list(range(9))
+    assert p[9:] == list(range(11, 20))
+
+
+def test_linearize_join_distance_gate():
+    # shadow edge from A's middle to B's middle: end-distance > 3 -> no join
+    edges = [(i, i + 1) for i in range(9)] + [(i, i + 1) for i in range(10, 19)]
+    d = make_digraph(edges)
+    se = d.add_edge(4, 15)
+    se.shadow = True
+    paths = linearize_graph(d)
+    assert not any(0 in p and 19 in p for p in paths)
+    assert list(range(10)) in paths
+    assert list(range(10, 20)) in paths
