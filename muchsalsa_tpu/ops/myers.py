@@ -156,3 +156,81 @@ def myers_words_np(q: bytes, t: bytes) -> int:
                 vp[w], vn[w], hin = _block_step(vp[w], vn[w], peq[c, w], hin)
 
     return score
+
+
+# ---------------------------------------------------------------------------
+# banded (windowed-block) formulation — numpy prototype
+
+
+def myers_banded_np(q: bytes, t: bytes, window_words: int = 8) -> int:
+    """Banded Myers: only a sliding window of `window_words` 32-bit
+    blocks is active per text column (Ukkonen band over diagonals
+    k = j - i, like the wavefront kernel).  Returns the edit distance
+    when the optimal path stays inside the band (an upper bound
+    otherwise), or -1 when |n - m| exceeds the band.
+    """
+    m = len(q)
+    n = len(t)
+    if m == 0:
+        return n
+    if n == 0:
+        return m
+
+    WB = window_words
+    band_rows = WB * W_BITS
+    diff = n - m
+    if abs(diff) >= band_rows - W_BITS:
+        return -1
+    slack = (band_rows - 1 - abs(diff)) // 2
+    klo = min(0, diff) - slack             # k = j - i in [klo, khi]
+    khi = klo + band_rows - 1
+
+    n_words_full = (max(m, band_rows) + W_BITS - 1) // W_BITS + WB + 4
+
+    peq = np.zeros((256, n_words_full), dtype=np.uint64)
+    for i, c in enumerate(q):
+        peq[c, i // W_BITS] |= np.uint64(1) << np.uint64(i % W_BITS)
+
+    # window state: words [wb, wb + WB)
+    vp = np.full(WB, int(_WMASK), dtype=np.uint64)
+    vn = np.zeros(WB, dtype=np.uint64)
+    wb = 0
+    score = WB * W_BITS  # D(window bottom row + 1, col 0)
+
+    for j in range(1, n + 1):
+        # advance the window when the band top passes a word boundary
+        target_wb = max(0, (j - khi)) // W_BITS
+        while wb < target_wb:
+            vp = np.concatenate([vp[1:], [np.uint64(int(_WMASK))]])
+            vn = np.concatenate([vn[1:], [np.uint64(0)]])
+            wb += 1
+            score += W_BITS
+
+        c = t[j - 1]
+        hin = 1
+        for wi in range(WB):
+            w = wb + wi
+            eq = peq[c, w] if w < n_words_full else np.uint64(0)
+            if wi == WB - 1:
+                # bottom block: hout updates the tracked bottom score
+                vp_w, vn_w, hout = _block_step(vp[wi], vn[wi], eq, hin)
+                score += hout
+                vp[wi], vn[wi] = vp_w, vn_w
+            else:
+                vp[wi], vn[wi], hin = _block_step(vp[wi], vn[wi], eq, hin)
+
+    # walk from the window bottom row up to pattern row m-1
+    bottom_row = (wb + WB) * W_BITS - 1
+    if bottom_row < m - 1:
+        return -1  # band never reached the pattern end
+    # subtract vertical deltas of rows (m-1, bottom]
+    for r in range(bottom_row, m - 1, -1):
+        wi = r // W_BITS - wb
+        bit = np.uint64(r % W_BITS)
+        if wi < 0:
+            return -1
+        if (vp[wi] >> bit) & np.uint64(1):
+            score -= 1
+        elif (vn[wi] >> bit) & np.uint64(1):
+            score += 1
+    return score

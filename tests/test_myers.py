@@ -78,3 +78,61 @@ def test_jax_edge_cases():
     expected = np.array([edit_distance_np(q, t) for q, t in pairs])
     out = np.asarray(myers_edit_distance(*pack_problems(pairs)))
     np.testing.assert_array_equal(out, expected)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_banded_words_matches_oracle(seed):
+    from muchsalsa_tpu.ops.myers import myers_banded_np
+
+    rng = np.random.default_rng(seed)
+    for _ in range(15):
+        msize = int(rng.integers(30, 600))
+        q = random_genome(rng, msize)
+        t = mutate(rng, q, rate=float(rng.uniform(0, 0.15)))
+        if not t:
+            t = b"A"
+        expected = edit_distance_np(q, t)
+        got = myers_banded_np(q, t, window_words=8)
+        assert got == expected, (len(q), len(t), got, expected)
+
+
+def test_banded_words_window_edges():
+    from muchsalsa_tpu.ops.myers import myers_banded_np
+
+    rng = np.random.default_rng(11)
+    for m in (31, 32, 33, 255, 256, 257, 300):
+        q = random_genome(rng, m)
+        t = mutate(rng, q, 0.1)
+        assert myers_banded_np(q, t, 8) == edit_distance_np(q, t), m
+
+
+def test_banded_words_band_guard():
+    from muchsalsa_tpu.ops.myers import myers_banded_np
+
+    assert myers_banded_np(b"A" * 500, b"A" * 10, 8) == -1
+
+
+def test_jax_banded_matches_oracle():
+    from muchsalsa_tpu.ops.align import pack_problems
+    from muchsalsa_tpu.ops.myers_jax import myers_banded
+
+    rng = np.random.default_rng(13)
+    pairs = []
+    for _ in range(16):
+        msize = int(rng.integers(30, 500))
+        q = random_genome(rng, msize)
+        t = mutate(rng, q, rate=float(rng.uniform(0, 0.15)))
+        pairs.append((q, t if t else b"A"))
+    expected = np.array([edit_distance_np(q, t) for q, t in pairs])
+    out = np.asarray(myers_banded(*pack_problems(pairs), window_words=8))
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_jax_banded_band_guard():
+    from muchsalsa_tpu.ops.align import pack_problems
+    from muchsalsa_tpu.ops.myers_jax import myers_banded
+
+    # shared-band geometry: a batch whose diffs span more than the band
+    pairs = [(b"A" * 500, b"A" * 10), (b"ACGT" * 50, b"ACGT" * 50)]
+    out = np.asarray(myers_banded(*pack_problems(pairs), window_words=8))
+    assert out[0] == -1
