@@ -123,29 +123,106 @@ def get_corrected_nanopore_range(
     return float(s.nano_start[r]) + ncl, float(s.nano_end[r]) - ncr
 
 
+class ChunkedSeq:
+    """Extend-only sequence: O(1) amortised prepend/append of string
+    chunks with lazy join.  The consensus only ever extends its borders
+    (``updateConsensusBase`` never rewrites the interior, ap.cpp:205-229),
+    so plain-str concatenation would be O(L^2) in contig length — fatal
+    at 100Mb+ genomes."""
+
+    __slots__ = ("chunks", "length")
+
+    def __init__(self, s: "str | ChunkedSeq" = ""):
+        if isinstance(s, ChunkedSeq):
+            self.chunks = list(s.chunks)
+            self.length = s.length
+        else:
+            self.chunks = [s] if s else []
+            self.length = len(s)
+
+    def __len__(self) -> int:
+        return self.length
+
+    def append(self, s: str) -> None:
+        if s:
+            self.chunks.append(s)
+            self.length += len(s)
+
+    def prepend(self, s: str) -> None:
+        if s:
+            self.chunks.insert(0, s)
+            self.length += len(s)
+
+    def prefix(self, n: int) -> str:
+        """First min(n, len) characters."""
+        if n >= self.length:
+            return self.materialize()
+        out = []
+        need = n
+        for c in self.chunks:
+            if need <= 0:
+                break
+            out.append(c[:need])
+            need -= len(c)
+        return "".join(out)
+
+    def suffix(self, n: int) -> str:
+        """Last min(n, len) characters."""
+        if n >= self.length:
+            return self.materialize()
+        out = []
+        need = n
+        for c in reversed(self.chunks):
+            if need <= 0:
+                break
+            out.append(c[-need:] if need < len(c) else c)
+            need -= len(c)
+        return "".join(reversed(out))
+
+    def materialize(self) -> str:
+        if len(self.chunks) != 1:
+            joined = "".join(self.chunks)
+            self.chunks = [joined] if joined else []
+        return self.chunks[0] if self.chunks else ""
+
+
+def _new_prefix(new_seq, count: int) -> str:
+    """``strSlice(new, 0, count-1)`` — first ``count`` chars, clamped."""
+    if isinstance(new_seq, ChunkedSeq):
+        return new_seq.prefix(count)
+    return new_seq[:count]
+
+
+def _new_suffix(new_seq, count: int) -> str:
+    """``strSlice(new, -count, len)`` — last ``count`` chars; the whole
+    string when count >= len (C++ size_t-cast edge, SequenceUtils.cpp)."""
+    if isinstance(new_seq, ChunkedSeq):
+        return new_seq.suffix(count) if count < len(new_seq) else new_seq.materialize()
+    return new_seq[-count:] if 0 < count < len(new_seq) else (new_seq if count > 0 else "")
+
+
 def update_consensus_base(
-    old_seq: str | None,
+    old_seq: "ChunkedSeq | None",
     old_borders: tuple[int, int],
-    new_seq: str,
+    new_seq: "str | ChunkedSeq",
     new_borders: tuple[int, int],
-) -> tuple[str, int, int]:
+) -> tuple["ChunkedSeq", int, int]:
     """ap.cpp:205-229 — extend-only consensus update (interior never
     rewritten; left extension reproduces the strSlice inclusive-end
-    duplication)."""
+    duplication: the prepended piece is ``[0, delta]`` inclusive)."""
     if old_seq is None:
-        return new_seq, new_borders[0], new_borders[1]
+        return ChunkedSeq(new_seq), new_borders[0], new_borders[1]
 
     if new_borders[0] < old_borders[0]:
         border_right = old_borders[0] - new_borders[0]
-        updated = str_slice(new_seq, 0, border_right) + old_seq
+        # strSlice(new, 0, border_right) keeps border_right+1 chars
+        old_seq.prepend(_new_prefix(new_seq, border_right + 1))
     elif new_borders[1] > old_borders[1]:
-        border_left = -(new_borders[1] - old_borders[1])
-        updated = old_seq + str_slice(new_seq, border_left, len(new_seq))
-    else:
-        updated = old_seq
+        delta = new_borders[1] - old_borders[1]
+        old_seq.append(_new_suffix(new_seq, delta))
 
     return (
-        updated,
+        old_seq,
         min(old_borders[0], new_borders[0]),
         max(old_borders[1], new_borders[1]),
     )
@@ -759,7 +836,7 @@ def assemble_path(
         anchor = adg_vertices[0]
         overlap = id2overlap[reg_idx2id[anchor]]
         tap[anchor] = (0, overlap[1] - overlap[0])
-        global_sequence = anchor_sequences[anchor]
+        global_sequence = ChunkedSeq(anchor_sequences[anchor])
         global_pos1 = 0
         global_pos2 = overlap[1] - overlap[0]
 
@@ -777,7 +854,7 @@ def assemble_path(
         if not local_tap:
             overlap = id2overlap[reg_idx2id[vid]]
             local_tap[vid] = (0, overlap[1] - overlap[0])
-            local_sequence = anchor_sequences[vid]
+            local_sequence = ChunkedSeq(anchor_sequences[vid])
             local_pos1 = 0
             local_pos2 = overlap[1] - overlap[0]
         additional_paths.append((local_sequence, local_pos1, local_pos2, local_tap))
@@ -870,7 +947,9 @@ def assemble_path(
     target_len = len(global_sequence)
     width = ctx.sequence_line_length
 
-    writer.write_target(f">{target_name}\n{wrap_sequence(global_sequence, width)}\n")
+    writer.write_target(
+        f">{target_name}\n{wrap_sequence(global_sequence.materialize(), width)}\n"
+    )
 
     query_idx = 0
     for edge in adg.edges():
