@@ -863,6 +863,7 @@ def assemble_path(
     loop = True
     while loop:
         loop = False
+        progressed = False
         for idx in range(len(additional_paths)):
             if is_path_added[idx]:
                 continue
@@ -918,6 +919,7 @@ def assemble_path(
                 loop = True
                 continue
 
+            progressed = True
             is_path_added[idx] = True
             for match_vid, span in local_tap.items():
                 tap[match_vid] = (span[0] + group_offset, span[1] + group_offset)
@@ -925,6 +927,13 @@ def assemble_path(
                 global_sequence, (global_pos1, global_pos2), local_sequence,
                 (local_pos1 + group_offset, local_pos2 + group_offset),
             )
+
+        if loop and not progressed:
+            # stranded sub-orders (anchors connecting only to other
+            # unplaced paths) would spin forever — the reference has the
+            # same hazard (ap.cpp:927-1010 re-scans unconditionally);
+            # drop them rather than hang
+            break
 
     # -- stage 7: longest pre/post flanks (ap.cpp:1012-1032) ----------------
     for vid in adg.vertices:
