@@ -33,8 +33,6 @@ import heapq
 from dataclasses import dataclass
 from functools import cmp_to_key
 
-import numpy as np
-
 from muchsalsa_tpu.assemble.contraction import ContainElement
 from muchsalsa_tpu.graph.graph import DiGraph, Direction, Edge, Graph, VertexInfo
 from muchsalsa_tpu.io.fasta import SequenceStore

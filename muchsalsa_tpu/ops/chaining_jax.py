@@ -17,7 +17,6 @@ Compute dtype is float64 on CPU (exact vs oracle) and float32 on TPU.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 
 import numpy as np
@@ -26,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from muchsalsa_tpu.matching.store import EdgeMatches, MatchStore
-from muchsalsa_tpu.ops.chaining import ChainResult, EdgeContext, finalize_paths, make_edge_context
+from muchsalsa_tpu.ops.chaining import ChainResult, EdgeContext, finalize_paths
 
 _NEG = -1e30
 
