@@ -30,7 +30,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-             str(_SRC), "-o", str(_LIB)],
+             "-pthread", str(_SRC), "-o", str(_LIB)],
             check=True,
             capture_output=True,
             timeout=300,
@@ -199,6 +199,20 @@ def _setup_mapper(lib):
         i32p, u8p, i32p, i32p, i32p, i32p, i32p, i32p, ct.c_int64,
     ]
     lib.ms_map_read.restype = ct.c_int64
+    lib.ms_map_batch.argtypes = [
+        u8p, i64p, ct.c_int64, ct.c_int32, ct.c_int32,
+        u32p, ct.c_int64, i64p, i32p, i32p, u8p,
+        ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,
+    ]
+    lib.ms_map_batch.restype = ct.c_int64
+    lib.ms_map_batch_copy.argtypes = [
+        i32p, i32p, u8p, i32p, i32p, i32p, i32p, i32p, i32p,
+    ]
+    lib.ms_sketch_batch.argtypes = [
+        u8p, i64p, ct.c_int64, ct.c_int32, ct.c_int32, ct.c_int32,
+    ]
+    lib.ms_sketch_batch.restype = ct.c_int64
+    lib.ms_sketch_batch_copy.argtypes = [i64p, i32p, u32p, u8p]
 
 
 def _p(a, typ):
@@ -266,3 +280,87 @@ def map_read_native(codes, k, w, idx_hashes, idx_offsets, entry_unitig,
         max_out,
     )
     return {key: arr[:n] for key, arr in out.items()}
+
+
+def _blob_offsets(seqs: list[bytes]):
+    """Concatenate ASCII sequences into (blob array, int64 offsets)."""
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    blob = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    if len(blob) == 0:
+        blob = np.zeros(1, dtype=np.uint8)
+    return blob, offsets
+
+
+def map_batch_native(seqs: list[bytes], k, w, idx_hashes, idx_offsets,
+                     entry_unitig, entry_pos, entry_strand,
+                     bandwidth, min_anchors, min_chain, threads=0):
+    """Map every sequence against the index in one multithreaded native
+    call.  Returns a dict of per-hit arrays (``read`` = index into
+    ``seqs``) or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_mapper_ready"):
+        _setup_mapper(lib)
+        lib._mapper_ready = True
+    import ctypes as ct
+
+    blob, offsets = _blob_offsets(seqs)
+    total = lib.ms_map_batch(
+        _p(blob, ct.c_uint8), _p(offsets, ct.c_int64), len(seqs), k, w,
+        _p(idx_hashes, ct.c_uint32), len(idx_hashes),
+        _p(idx_offsets, ct.c_int64), _p(entry_unitig, ct.c_int32),
+        _p(entry_pos, ct.c_int32), _p(entry_strand.view(np.uint8), ct.c_uint8),
+        bandwidth, min_anchors, min_chain, threads,
+    )
+    n = max(int(total), 1)
+    out = {
+        "read": np.empty(n, np.int32),
+        "unitig": np.empty(n, np.int32),
+        "strand": np.empty(n, np.uint8),
+        "qs": np.empty(n, np.int32),
+        "qe": np.empty(n, np.int32),
+        "ts": np.empty(n, np.int32),
+        "te": np.empty(n, np.int32),
+        "matches": np.empty(n, np.int32),
+        "n_anchors": np.empty(n, np.int32),
+    }
+    lib.ms_map_batch_copy(
+        _p(out["read"], ct.c_int32), _p(out["unitig"], ct.c_int32),
+        _p(out["strand"], ct.c_uint8), _p(out["qs"], ct.c_int32),
+        _p(out["qe"], ct.c_int32), _p(out["ts"], ct.c_int32),
+        _p(out["te"], ct.c_int32), _p(out["matches"], ct.c_int32),
+        _p(out["n_anchors"], ct.c_int32),
+    )
+    lib.ms_map_batch_free()
+    return {key: arr[: int(total)] for key, arr in out.items()}
+
+
+def sketch_batch_native(seqs: list[bytes], k, w, threads=0):
+    """Minimizer sketches of every sequence in one multithreaded call.
+    Returns (read_offsets[n+1], pos, hash, strand) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_mapper_ready"):
+        _setup_mapper(lib)
+        lib._mapper_ready = True
+    import ctypes as ct
+
+    blob, offsets = _blob_offsets(seqs)
+    total = lib.ms_sketch_batch(
+        _p(blob, ct.c_uint8), _p(offsets, ct.c_int64), len(seqs), k, w, threads
+    )
+    n = max(int(total), 1)
+    read_offsets = np.empty(len(seqs) + 1, dtype=np.int64)
+    pos = np.empty(n, np.int32)
+    h = np.empty(n, np.uint32)
+    strand = np.empty(n, np.uint8)
+    lib.ms_sketch_batch_copy(
+        _p(read_offsets, ct.c_int64), _p(pos, ct.c_int32),
+        _p(h, ct.c_uint32), _p(strand, ct.c_uint8),
+    )
+    lib.ms_sketch_batch_free()
+    t = int(total)
+    return read_offsets, pos[:t], h[:t], strand[:t].astype(bool)

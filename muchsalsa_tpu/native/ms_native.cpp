@@ -366,53 +366,69 @@ struct Anchor {
   int32_t t;
 };
 
-int64_t ms_map_read(const uint8_t *codes, int64_t len, int32_t k, int32_t w,
-                    const uint32_t *idx_hashes, int64_t n_hashes,
-                    const int64_t *idx_offsets, const int32_t *entry_unitig,
-                    const int32_t *entry_pos, const uint8_t *entry_strand,
-                    int32_t bandwidth, int32_t min_anchors, int32_t min_chain,
-                    int32_t *out_unitig, uint8_t *out_strand, int32_t *out_qs,
-                    int32_t *out_qe, int32_t *out_ts, int32_t *out_te,
-                    int32_t *out_matches, int32_t *out_nanchors,
-                    int64_t max_out) {
-  if (len < k || n_hashes == 0) return 0;
+struct MapHit {
+  int32_t unitig;
+  uint8_t strand;
+  int32_t qs, qe, ts, te, matches, nanchors;
+};
 
-  std::vector<int32_t> mpos(len);
-  std::vector<uint32_t> mhash(len);
-  std::vector<uint8_t> mstrand(len);
-  int64_t n_min = ms_minimizers(codes, len, k, w, mpos.data(), mhash.data(),
-                                mstrand.data());
-
+// per-thread scratch so batch mapping reuses allocations across reads
+struct MapScratch {
+  std::vector<int32_t> mpos;
+  std::vector<uint32_t> mhash;
+  std::vector<uint8_t> mstrand;
   std::vector<Anchor> anchors;
+  std::vector<int32_t> seg_t;
+};
+
+// core of map_read: sketch + index lookup + diagonal-band chaining,
+// appending hits to `out` (same algorithm as pipeline/mapper.py::map_read)
+static void map_codes_into(const uint8_t *codes, int64_t len, int32_t k,
+                           int32_t w, const uint32_t *idx_hashes,
+                           int64_t n_hashes, const int64_t *idx_offsets,
+                           const int32_t *entry_unitig,
+                           const int32_t *entry_pos,
+                           const uint8_t *entry_strand, int32_t bandwidth,
+                           int32_t min_anchors, int32_t min_chain,
+                           MapScratch &sc, std::vector<MapHit> &out) {
+  if (len < k || n_hashes == 0) return;
+
+  sc.mpos.resize(len);
+  sc.mhash.resize(len);
+  sc.mstrand.resize(len);
+  int64_t n_min = ms_minimizers(codes, len, k, w, sc.mpos.data(),
+                                sc.mhash.data(), sc.mstrand.data());
+
+  auto &anchors = sc.anchors;
+  anchors.clear();
   anchors.reserve(n_min * 2);
   for (int64_t i = 0; i < n_min; ++i) {
     const uint32_t *lo =
-        std::lower_bound(idx_hashes, idx_hashes + n_hashes, mhash[i]);
-    if (lo == idx_hashes + n_hashes || *lo != mhash[i]) continue;
+        std::lower_bound(idx_hashes, idx_hashes + n_hashes, sc.mhash[i]);
+    if (lo == idx_hashes + n_hashes || *lo != sc.mhash[i]) continue;
     int64_t b = lo - idx_hashes;
     for (int64_t e = idx_offsets[b]; e < idx_offsets[b + 1]; ++e) {
-      bool rel = (entry_strand[e] != 0) == (mstrand[i] != 0);
+      bool rel = (entry_strand[e] != 0) == (sc.mstrand[i] != 0);
       Anchor a;
       a.key = static_cast<int64_t>(entry_unitig[e]) * 2 + (rel ? 1 : 0);
       a.q = entry_pos[e];
-      a.t = mpos[i];
+      a.t = sc.mpos[i];
       a.diag = rel ? (static_cast<int64_t>(a.t) - a.q)
                    : (static_cast<int64_t>(a.t) + a.q);
       anchors.push_back(a);
     }
   }
-  if (anchors.empty()) return 0;
+  if (anchors.empty()) return;
 
   std::sort(anchors.begin(), anchors.end(), [](const Anchor &x, const Anchor &y) {
     if (x.key != y.key) return x.key < y.key;
     return x.diag < y.diag;
   });
 
-  int64_t n_out = 0;
-  std::vector<int32_t> seg_t;
+  auto &seg_t = sc.seg_t;
   int64_t n_a = static_cast<int64_t>(anchors.size());
   int64_t s = 0;
-  while (s < n_a && n_out < max_out) {
+  while (s < n_a) {
     int64_t e = s + 1;
     while (e < n_a && anchors[e].key == anchors[s].key &&
            anchors[e].diag - anchors[e - 1].diag <= bandwidth)
@@ -433,20 +449,232 @@ int64_t ms_map_read(const uint8_t *codes, int64_t len, int32_t k, int32_t w,
         covered += std::min<int64_t>(seg_t[i] - seg_t[i - 1], k);
 
       if (covered >= min_chain) {
-        out_unitig[n_out] = static_cast<int32_t>(anchors[s].key / 2);
-        out_strand[n_out] = static_cast<uint8_t>(anchors[s].key % 2);
-        out_qs[n_out] = qmin;
-        out_qe[n_out] = qmax + k;
-        out_ts[n_out] = seg_t.front();
-        out_te[n_out] = seg_t.back() + k;
-        out_matches[n_out] = static_cast<int32_t>(covered);
-        out_nanchors[n_out] = static_cast<int32_t>(cnt);
-        ++n_out;
+        MapHit h;
+        h.unitig = static_cast<int32_t>(anchors[s].key / 2);
+        h.strand = static_cast<uint8_t>(anchors[s].key % 2);
+        h.qs = qmin;
+        h.qe = qmax + k;
+        h.ts = seg_t.front();
+        h.te = seg_t.back() + k;
+        h.matches = static_cast<int32_t>(covered);
+        h.nanchors = static_cast<int32_t>(cnt);
+        out.push_back(h);
       }
     }
     s = e;
   }
+}
+
+int64_t ms_map_read(const uint8_t *codes, int64_t len, int32_t k, int32_t w,
+                    const uint32_t *idx_hashes, int64_t n_hashes,
+                    const int64_t *idx_offsets, const int32_t *entry_unitig,
+                    const int32_t *entry_pos, const uint8_t *entry_strand,
+                    int32_t bandwidth, int32_t min_anchors, int32_t min_chain,
+                    int32_t *out_unitig, uint8_t *out_strand, int32_t *out_qs,
+                    int32_t *out_qe, int32_t *out_ts, int32_t *out_te,
+                    int32_t *out_matches, int32_t *out_nanchors,
+                    int64_t max_out) {
+  MapScratch sc;
+  std::vector<MapHit> hits;
+  map_codes_into(codes, len, k, w, idx_hashes, n_hashes, idx_offsets,
+                 entry_unitig, entry_pos, entry_strand, bandwidth, min_anchors,
+                 min_chain, sc, hits);
+  int64_t n_out = std::min<int64_t>(static_cast<int64_t>(hits.size()), max_out);
+  for (int64_t i = 0; i < n_out; ++i) {
+    out_unitig[i] = hits[i].unitig;
+    out_strand[i] = hits[i].strand;
+    out_qs[i] = hits[i].qs;
+    out_qe[i] = hits[i].qe;
+    out_ts[i] = hits[i].ts;
+    out_te[i] = hits[i].te;
+    out_matches[i] = hits[i].matches;
+    out_nanchors[i] = hits[i].nanchors;
+  }
   return n_out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// batched mapper + sketcher: whole read sets in one call, fanned out over
+// std::threads (the host analog of the reference's ThreadPool job-per-read
+// fan-out, libms/src/threading/ThreadPool.cpp).  Input sequences arrive as
+// one ASCII blob + offsets; 2-bit encoding happens here.  Results are
+// deterministic regardless of thread count: each read's hits are owned by
+// exactly one slot, flattened in read order.
+
+#include <atomic>
+#include <thread>
+
+static const uint8_t *encode_table() {
+  static uint8_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i) table[i] = 4;
+    table['A'] = table['a'] = 0;
+    table['C'] = table['c'] = 1;
+    table['G'] = table['g'] = 2;
+    table['T'] = table['t'] = 3;
+    init = true;
+  }
+  return table;
+}
+
+struct MapBatchState {
+  std::vector<std::vector<MapHit>> per_read;
+  int64_t total = 0;
+};
+static MapBatchState *g_map_batch = nullptr;
+
+struct SketchBatchState {
+  std::vector<std::vector<int32_t>> pos;
+  std::vector<std::vector<uint32_t>> hash;
+  std::vector<std::vector<uint8_t>> strand;
+  int64_t total = 0;
+};
+static SketchBatchState *g_sketch_batch = nullptr;
+
+extern "C" {
+
+int64_t ms_map_batch(const uint8_t *ascii_blob, const int64_t *offsets,
+                     int64_t n_reads, int32_t k, int32_t w,
+                     const uint32_t *idx_hashes, int64_t n_hashes,
+                     const int64_t *idx_offsets, const int32_t *entry_unitig,
+                     const int32_t *entry_pos, const uint8_t *entry_strand,
+                     int32_t bandwidth, int32_t min_anchors, int32_t min_chain,
+                     int32_t n_threads) {
+  delete g_map_batch;
+  g_map_batch = new MapBatchState();
+  g_map_batch->per_read.resize(n_reads);
+  const uint8_t *table = encode_table();
+
+  if (n_threads <= 0)
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+
+  // thread-local scratch keyed by a per-call slot counter
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    MapScratch sc;
+    std::vector<uint8_t> codes;
+    for (;;) {
+      int64_t r = next.fetch_add(1);
+      if (r >= n_reads) break;
+      int64_t s = offsets[r], e = offsets[r + 1];
+      int64_t len = e - s;
+      codes.resize(len);
+      for (int64_t i = 0; i < len; ++i) codes[i] = table[ascii_blob[s + i]];
+      map_codes_into(codes.data(), len, k, w, idx_hashes, n_hashes,
+                     idx_offsets, entry_unitig, entry_pos, entry_strand,
+                     bandwidth, min_anchors, min_chain, sc,
+                     g_map_batch->per_read[r]);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int32_t t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto &th : threads) th.join();
+
+  int64_t total = 0;
+  for (auto &v : g_map_batch->per_read) total += static_cast<int64_t>(v.size());
+  g_map_batch->total = total;
+  return total;
+}
+
+void ms_map_batch_copy(int32_t *read_idx, int32_t *unitig, uint8_t *strand,
+                       int32_t *qs, int32_t *qe, int32_t *ts, int32_t *te,
+                       int32_t *matches, int32_t *nanchors) {
+  if (!g_map_batch) return;
+  int64_t o = 0;
+  for (size_t r = 0; r < g_map_batch->per_read.size(); ++r) {
+    for (const MapHit &h : g_map_batch->per_read[r]) {
+      read_idx[o] = static_cast<int32_t>(r);
+      unitig[o] = h.unitig;
+      strand[o] = h.strand;
+      qs[o] = h.qs;
+      qe[o] = h.qe;
+      ts[o] = h.ts;
+      te[o] = h.te;
+      matches[o] = h.matches;
+      nanchors[o] = h.nanchors;
+      ++o;
+    }
+  }
+}
+
+void ms_map_batch_free() {
+  delete g_map_batch;
+  g_map_batch = nullptr;
+}
+
+int64_t ms_sketch_batch(const uint8_t *ascii_blob, const int64_t *offsets,
+                        int64_t n_reads, int32_t k, int32_t w,
+                        int32_t n_threads) {
+  delete g_sketch_batch;
+  g_sketch_batch = new SketchBatchState();
+  auto &st = *g_sketch_batch;
+  st.pos.resize(n_reads);
+  st.hash.resize(n_reads);
+  st.strand.resize(n_reads);
+  const uint8_t *table = encode_table();
+
+  if (n_threads <= 0)
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> codes;
+    std::vector<int32_t> pos;
+    std::vector<uint32_t> hash;
+    std::vector<uint8_t> strand;
+    for (;;) {
+      int64_t r = next.fetch_add(1);
+      if (r >= n_reads) break;
+      int64_t s = offsets[r], e = offsets[r + 1];
+      int64_t len = e - s;
+      codes.resize(len);
+      for (int64_t i = 0; i < len; ++i) codes[i] = table[ascii_blob[s + i]];
+      pos.resize(std::max<int64_t>(len, 1));
+      hash.resize(std::max<int64_t>(len, 1));
+      strand.resize(std::max<int64_t>(len, 1));
+      int64_t cnt = ms_minimizers(codes.data(), len, k, w, pos.data(),
+                                  hash.data(), strand.data());
+      st.pos[r].assign(pos.begin(), pos.begin() + cnt);
+      st.hash[r].assign(hash.begin(), hash.begin() + cnt);
+      st.strand[r].assign(strand.begin(), strand.begin() + cnt);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int32_t t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto &th : threads) th.join();
+
+  int64_t total = 0;
+  for (auto &v : st.pos) total += static_cast<int64_t>(v.size());
+  st.total = total;
+  return total;
+}
+
+void ms_sketch_batch_copy(int64_t *read_offsets, int32_t *pos, uint32_t *hash,
+                          uint8_t *strand) {
+  if (!g_sketch_batch) return;
+  auto &st = *g_sketch_batch;
+  int64_t o = 0;
+  for (size_t r = 0; r < st.pos.size(); ++r) {
+    read_offsets[r] = o;
+    size_t n = st.pos[r].size();
+    if (n) {
+      memcpy(pos + o, st.pos[r].data(), n * sizeof(int32_t));
+      memcpy(hash + o, st.hash[r].data(), n * sizeof(uint32_t));
+      memcpy(strand + o, st.strand[r].data(), n);
+    }
+    o += static_cast<int64_t>(n);
+  }
+  read_offsets[st.pos.size()] = o;
+}
+
+void ms_sketch_batch_free() {
+  delete g_sketch_batch;
+  g_sketch_batch = nullptr;
 }
 
 }  // extern "C"

@@ -101,6 +101,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "full":
+        from pathlib import Path
+
+        inputs = [args.illumina1, args.nanopore]
+        if args.illumina2 is not None:
+            inputs.append(args.illumina2)
+        for p in inputs:
+            if not Path(p).is_file():
+                print("Paths are pointing to invalid/unusable locations", file=sys.stderr)
+                print(f"  missing: {p}", file=sys.stderr)
+                return 1
         from muchsalsa_tpu.pipeline.full import run_full_pipeline
 
         final = run_full_pipeline(
@@ -116,6 +126,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "map":
+        from pathlib import Path
+
+        for p in (args.query_fa, args.target_fa):
+            if not Path(p).is_file():
+                print("Paths are pointing to invalid/unusable locations", file=sys.stderr)
+                print(f"  missing: {p}", file=sys.stderr)
+                return 1
         from muchsalsa_tpu.io.fasta import SequenceStore
         from muchsalsa_tpu.pipeline.mapper import MinimizerIndex, map_all, write_paf
 

@@ -59,16 +59,37 @@ class MinimizerIndex:
         each read's sketch once for both index and lookup)."""
         all_h, all_u, all_p, all_s = [], [], [], []
         lengths = {}
-        for uid, seq in store.items():
-            lengths[uid] = len(seq)
-            if sketches is not None and uid in sketches:
-                pos, h, strand = sketches[uid]
-            else:
-                pos, h, strand = minimizers(seq, cfg.k, cfg.w)
-            all_h.append(h)
-            all_p.append(pos.astype(np.int32))
-            all_s.append(strand)
-            all_u.append(np.full(len(pos), uid, dtype=np.int32))
+
+        batch = None
+        if sketches is None and cfg.k <= 15:
+            from muchsalsa_tpu import native
+
+            if native.available():
+                ids, seqs = [], []
+                for uid, seq in store.items():
+                    lengths[uid] = len(seq)
+                    ids.append(uid)
+                    seqs.append(seq)
+                batch = native.sketch_batch_native(seqs, cfg.k, cfg.w)
+                if batch is not None:
+                    read_offsets, pos, h, strand = batch
+                    counts = np.diff(read_offsets)
+                    all_h = [h]
+                    all_p = [pos]
+                    all_s = [strand]
+                    all_u = [np.repeat(np.asarray(ids, dtype=np.int32), counts)]
+
+        if batch is None:
+            for uid, seq in store.items():
+                lengths[uid] = len(seq)
+                if sketches is not None and uid in sketches:
+                    pos, h, strand = sketches[uid]
+                else:
+                    pos, h, strand = minimizers(seq, cfg.k, cfg.w)
+                all_h.append(h)
+                all_p.append(pos.astype(np.int32))
+                all_s.append(strand)
+                all_u.append(np.full(len(pos), uid, dtype=np.int32))
 
         if all_h:
             h = np.concatenate(all_h)
@@ -246,6 +267,55 @@ def map_read(
     return results
 
 
+def map_batch(
+    index: MinimizerIndex,
+    reads: SequenceStore,
+    cfg: MapperConfig,
+    threads: int = 0,
+) -> list[tuple[int, list[Mapping]]] | None:
+    """Map every read in one multithreaded native call (the host analog
+    of the reference's job-per-read ThreadPool fan-out).  Results are
+    identical to per-read :func:`map_read`; returns None when the native
+    library is unavailable (callers fall back to the python path)."""
+    if index.k > 15:
+        return None
+    from muchsalsa_tpu import native
+
+    if not native.available():
+        return None
+
+    rids, seqs = [], []
+    for rid, seq in reads.items():
+        rids.append(rid)
+        seqs.append(seq)
+    out = native.map_batch_native(
+        seqs, index.k, index.w,
+        index.hashes, index.offsets, index.entry_unitig,
+        index.entry_pos, index.entry_strand,
+        cfg.bandwidth, cfg.min_anchor_count, cfg.min_chain_score,
+        threads=threads,
+    )
+    if out is None:
+        return None
+
+    per_read: list[tuple[int, list[Mapping]]] = [(rid, []) for rid in rids]
+    read_col = out["read"]
+    for i in range(len(read_col)):
+        per_read[int(read_col[i])][1].append(
+            Mapping(
+                unitig=int(out["unitig"][i]),
+                strand=bool(out["strand"][i]),
+                q_start=int(out["qs"][i]),
+                q_end=int(out["qe"][i]),
+                t_start=int(out["ts"][i]),
+                t_end=int(out["te"][i]),
+                matches=int(out["matches"][i]),
+                n_anchors=int(out["n_anchors"][i]),
+            )
+        )
+    return per_read
+
+
 _POOL_STATE: dict = {}
 
 
@@ -276,7 +346,8 @@ def map_all(
 
     if processes is None:
         processes = 1
-    if processes > 1:
+    per_read = map_batch(index, reads, cfg, threads=0 if processes <= 1 else processes)
+    if per_read is None and processes > 1:
         import multiprocessing as mp
 
         _POOL_STATE["index"] = index
@@ -285,7 +356,7 @@ def map_all(
         with ctx.Pool(processes) as pool:
             per_read = pool.map(_pool_map_one, list(reads.items()), chunksize=64)
         _POOL_STATE.clear()
-    else:
+    elif per_read is None:
         per_read = [(rid, map_read(index, seq, cfg)) for rid, seq in reads.items()]
     if cfg.refine and unitigs is not None:
         refine_mappings(per_read, reads, unitigs, band=cfg.refine_band)

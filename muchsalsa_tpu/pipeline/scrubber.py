@@ -148,11 +148,14 @@ def _scrub_subset(subset, nodes, adj, remaining, reads, out, scrub_cfg, mapper_c
                 center.discard(u)
                 break
 
-    # all-vs-all overlap of the subset with the native mapper; when only
-    # the python path is available, each read's minimizer sketch is
-    # computed once and reused for index build and lookup
+    # all-vs-all overlap of the subset with the native mapper: one
+    # multithreaded batch call (index sketching included) when the
+    # native library is available; otherwise the python path computes
+    # each read's minimizer sketch once and reuses it for index build
+    # and lookup
     from muchsalsa_tpu import native
     from muchsalsa_tpu.ops.minimizer import minimizers
+    from muchsalsa_tpu.pipeline.mapper import map_batch
 
     use_native = native.available() and mapper_cfg.k <= 15
 
@@ -161,23 +164,36 @@ def _scrub_subset(subset, nodes, adj, remaining, reads, out, scrub_cfg, mapper_c
         rid = reads.registry.get(name)
         if rid is not None and rid in reads:
             subset_store.add(name, reads.sequence(rid))
-    sketches = {
-        sid: minimizers(seq, mapper_cfg.k, mapper_cfg.w)
-        for sid, seq in subset_store.items()
-    }
+
+    sketches = None
+    if not use_native:
+        sketches = {
+            sid: minimizers(seq, mapper_cfg.k, mapper_cfg.w)
+            for sid, seq in subset_store.items()
+        }
     index = MinimizerIndex.build(subset_store, mapper_cfg, sketches=sketches)
 
-    for rid, seq in subset_store.items():
+    per_read = map_batch(index, subset_store, mapper_cfg) if use_native else None
+    if per_read is None:
+        per_read = [
+            (
+                rid,
+                map_read(
+                    index, seq, mapper_cfg,
+                    sketch=sketches[rid] if sketches is not None else None,
+                ),
+            )
+            for rid, seq in subset_store.items()
+        ]
+
+    for rid, maps in per_read:
         rname = subset_store.registry.name(rid)
-        for m in map_read(
-            index, seq, mapper_cfg,
-            sketch=None if use_native else sketches[rid],
-        ):
-            oname = subset_store.registry.name(m.unitig)
-            if oname == rname:
+        for m in maps:
+            if m.unitig == rid:
                 continue
             if m.q_end - m.q_start < scrub_cfg.min_hit_length:
                 continue
+            oname = subset_store.registry.name(m.unitig)
             d = "+" if m.strand else "-"
             # id_1 = indexed read (query coords), id_2 = mapped read
             _merge_ranges(

@@ -177,3 +177,52 @@ def test_refine_mappings_alignment_counts():
     m_rc = per_read[1][1][0]
     span = max(m_rc.q_end - m_rc.q_start, m_rc.t_end - m_rc.t_start)
     assert m_rc.matches > 0.97 * span
+
+
+def test_map_batch_matches_per_read():
+    """Native multithreaded batch mapping returns exactly the per-read
+    python-path results (same hits, same order)."""
+    from muchsalsa_tpu import native
+    from muchsalsa_tpu.pipeline.mapper import map_batch
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(31)
+    sim = simulate(rng, genome_length=20_000, coverage=6.0, read_length=4_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    reads = SequenceStore()
+    for name, seq in sim.read_records():
+        reads.add(name, seq)
+
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+    batch = map_batch(index, reads, cfg, threads=4)
+    assert batch is not None
+
+    ref = [(rid, map_read(index, seq, cfg)) for rid, seq in reads.items()]
+    assert len(batch) == len(ref)
+    for (rid_b, maps_b), (rid_r, maps_r) in zip(batch, ref):
+        assert rid_b == rid_r
+        assert maps_b == maps_r
+
+
+def test_sketch_batch_matches_minimizers():
+    from muchsalsa_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(37)
+    seqs = [random_genome(rng, n) for n in (500, 14, 0, 2_000, 301)]
+    out = native.sketch_batch_native(seqs, 15, 5, threads=3)
+    assert out is not None
+    read_offsets, pos, h, strand = out
+    for i, seq in enumerate(seqs):
+        lo, hi = int(read_offsets[i]), int(read_offsets[i + 1])
+        p_ref, h_ref, s_ref = minimizers(seq, 15, 5)
+        np.testing.assert_array_equal(pos[lo:hi], p_ref)
+        np.testing.assert_array_equal(h[lo:hi], h_ref)
+        np.testing.assert_array_equal(strand[lo:hi], s_ref)
