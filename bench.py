@@ -135,6 +135,30 @@ def _bench_align(use_pallas: bool, latency: float) -> float:
     return cells / dt
 
 
+def _bench_myers_banded_pallas(latency: float) -> tuple[float, float]:
+    """Fused Pallas banded Myers: (alignments/s, band-cells/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from muchsalsa_tpu.ops.myers_pallas import myers_banded_pallas
+
+    q_codes, q_lens, t_codes, t_lens = _align_problems()
+    ww = ALIGN_BAND // 32
+
+    def loop(q_codes, q_lens, t_codes, t_lens):
+        def body(i, acc):
+            bump = jnp.where(acc > 1e30, 1, 0).astype(q_lens.dtype)
+            out = myers_banded_pallas(
+                q_codes, q_lens + bump, t_codes, t_lens, window_words=ww
+            )
+            return acc + jnp.sum(out).astype(jnp.float32) * 1e-20
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+
+    dt = _timed_loop(loop, (q_codes, q_lens, t_codes, t_lens), latency)
+    return ALIGN_P / dt, ALIGN_P * ALIGN_L * ALIGN_BAND / dt
+
+
 SEED_R, SEED_L = 512, 10_240
 
 
@@ -214,6 +238,16 @@ def main() -> None:
         f"[bench] Myers exact DP on {backend}: {myers_cells_per_s/1e9:.1f} GCUPS",
         file=sys.stderr,
     )
+
+    if on_tpu:
+        aligns_per_s, band_cells_per_s = _bench_myers_banded_pallas(latency)
+        print(
+            f"[bench] banded Myers (pallas) on {backend}: "
+            f"{aligns_per_s/1e6:.2f} M alignments/s "
+            f"({band_cells_per_s/1e9:.0f} G band-cells/s, 2kb pairs, "
+            f"band {ALIGN_BAND})",
+            file=sys.stderr,
+        )
 
     chain_pairs_per_s = _bench_chain_dp(latency)
     print(

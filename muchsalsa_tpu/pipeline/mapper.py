@@ -428,9 +428,14 @@ def refine_mappings(
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform == "tpu"
         if use_pallas:
-            from muchsalsa_tpu.ops.align_pallas import banded_edit_distance_pallas
+            # fused banded Myers: ~100x the wavefront Pallas kernel in
+            # band-cells/s (see BASELINE.md); -1 refusals (length diff
+            # outside the static band) are left unrefined below
+            from muchsalsa_tpu.ops.myers_pallas import myers_banded_pallas
 
-            dists = banded_edit_distance_pallas(*args, band=band)
+            dists = myers_banded_pallas(
+                *args, window_words=max(band // 32, 2)
+            )
         else:
             from muchsalsa_tpu.ops.align import banded_edit_distance
 
