@@ -89,11 +89,18 @@ def _align_problems(n_problems: int = ALIGN_P):
 
 
 def _bench_myers(latency: float, n_problems: int = ALIGN_P, iters: int = ITERS) -> float:
-    """Exact edit-distance GCUPS (full m*n matrix) on the active backend."""
+    """Exact edit-distance GCUPS (full m*n matrix) on the active backend.
+    Uses the fused Pallas kernel on TPU and the XLA kernel elsewhere —
+    both bit-identical (tests/test_myers_pallas.py)."""
     import jax
     import jax.numpy as jnp
 
-    from muchsalsa_tpu.ops.myers_jax import myers_edit_distance
+    if jax.devices()[0].platform == "tpu":
+        from muchsalsa_tpu.ops.myers_full_pallas import (
+            myers_edit_distance_pallas as myers_edit_distance,
+        )
+    else:
+        from muchsalsa_tpu.ops.myers_jax import myers_edit_distance
 
     q_codes, q_lens, t_codes, t_lens = _align_problems(n_problems)
 

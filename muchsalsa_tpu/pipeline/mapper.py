@@ -419,7 +419,14 @@ def refine_mappings(
 
     args = pack_problems(pairs)
     if not banded:
-        from muchsalsa_tpu.ops.myers_jax import myers_edit_distance
+        import jax
+
+        if jax.devices()[0].platform == "tpu":
+            from muchsalsa_tpu.ops.myers_full_pallas import (
+                myers_edit_distance_pallas as myers_edit_distance,
+            )
+        else:
+            from muchsalsa_tpu.ops.myers_jax import myers_edit_distance
 
         dists = myers_edit_distance(*args)
     else:

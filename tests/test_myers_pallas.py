@@ -92,3 +92,42 @@ def test_empty_and_degenerate():
     out = run([(b"A", b"A"), (b"ACGT" * 20, b"ACGT" * 20)])
     assert out[0] == 0
     assert out[1] == 0
+
+
+def test_full_pallas_matches_oracle():
+    from muchsalsa_tpu.ops.myers_pallas import myers_banded_pallas  # noqa: F401
+    from muchsalsa_tpu.ops.myers_full_pallas import myers_edit_distance_pallas
+
+    rng = np.random.default_rng(11)
+    pairs = []
+    for _ in range(20):
+        m = int(rng.integers(1, 300))
+        q = random_genome(rng, m)
+        t = mutate(rng, q, rate=float(rng.uniform(0, 0.5)))
+        if len(t) == 0:
+            t = b"A"
+        pairs.append((q, t))
+    # wildly different lengths (no band to respect)
+    pairs.append((random_genome(rng, 10), random_genome(rng, 500)))
+    pairs.append((random_genome(rng, 500), random_genome(rng, 10)))
+
+    q_codes, q_lens, t_codes, t_lens = pack_problems(pairs)
+    got = np.asarray(myers_edit_distance_pallas(
+        q_codes, q_lens, t_codes, t_lens, interpret=True))
+    for i, (q, t) in enumerate(pairs):
+        assert got[i] == edit_distance_np(q, t), (i, len(q), len(t))
+
+
+def test_full_pallas_word_edges():
+    from muchsalsa_tpu.ops.myers_full_pallas import myers_edit_distance_pallas
+
+    rng = np.random.default_rng(12)
+    pairs = []
+    for m in (31, 32, 33, 63, 64, 65, 96, 97):
+        q = random_genome(rng, m)
+        pairs.append((q, mutate(rng, q, 0.2)))
+    q_codes, q_lens, t_codes, t_lens = pack_problems(pairs)
+    got = np.asarray(myers_edit_distance_pallas(
+        q_codes, q_lens, t_codes, t_lens, interpret=True))
+    for i, (q, t) in enumerate(pairs):
+        assert got[i] == edit_distance_np(q, t), (i, len(q))
