@@ -85,6 +85,42 @@ def sharded_anchor_counts(
     return jax.jit(step)(codes, lens, index_hashes)
 
 
+def sharded_map_reads(
+    codes,
+    lens,
+    index_arrays: tuple,
+    mesh: Mesh,
+    axis: str = "reads",
+    **kwargs,
+):
+    """Multi-chip FULL mapping (the minimap2-replacement stage): reads
+    shard over the mesh, the unitig index (hashes/offsets/entries) is
+    replicated on every chip.  Returns the per-read hit tables of
+    :func:`ops.mapping_jax.map_reads_device` plus a psum-merged
+    [reads_with_hits, total_hits] stat pair."""
+    from muchsalsa_tpu.ops.mapping_jax import map_reads_device
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (P(),) * len(index_arrays),
+        out_specs=({k: P(axis) for k in (
+            "unitig", "strand", "qs", "qe", "ts", "te", "matches",
+            "n_anchors", "n_hits", "overflow")}, P()),
+    )
+    def step(local_codes, local_lens, *index):
+        out = map_reads_device(local_codes, local_lens, *index, **kwargs)
+        stats = jnp.stack(
+            [
+                jnp.sum((out["n_hits"] > 0).astype(jnp.float32)),
+                jnp.sum(out["n_hits"].astype(jnp.float32)),
+            ]
+        )
+        return out, jax.lax.psum(stats, axis)
+
+    return jax.jit(step)(codes, lens, *index_arrays)
+
+
 def sharded_myers(
     q_codes, q_lens, t_codes, t_lens, mesh: Mesh, axis: str = "reads"
 ):

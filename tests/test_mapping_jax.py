@@ -1,0 +1,133 @@
+"""Device (XLA) full mapper vs the host map_read oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from muchsalsa_tpu.config import MapperConfig
+from muchsalsa_tpu.io.fasta import SequenceStore
+from muchsalsa_tpu.ops.mapping_jax import map_reads_device
+from muchsalsa_tpu.pipeline.mapper import MinimizerIndex, map_read
+from muchsalsa_tpu.testing.simulate import add_noise, simulate
+from muchsalsa_tpu.utils.seq import encode_2bit
+
+
+def _pack_reads(seqs, L):
+    R = len(seqs)
+    codes = np.full((R, L), 4, dtype=np.uint8)
+    lens = np.zeros(R, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        c = encode_2bit(s)
+        codes[i, : len(c)] = c
+        lens[i] = len(c)
+    return jnp.asarray(codes), jnp.asarray(lens)
+
+
+def _device_map(index, reads, cfg, use_bitmap=False, **caps):
+    seqs = [seq for _, seq in reads.items()]
+    rids = [rid for rid, _ in reads.items()]
+    L = max(len(s) for s in seqs)
+    codes, lens = _pack_reads(seqs, L)
+    bitmap = None
+    if use_bitmap:
+        from muchsalsa_tpu.ops.minimizer_jax import build_hash_bitmap
+
+        bitmap = build_hash_bitmap(index.hashes)
+    out = map_reads_device(
+        codes, lens,
+        jnp.asarray(index.hashes), jnp.asarray(index.offsets.astype(np.int32)),
+        jnp.asarray(index.entry_unitig), jnp.asarray(index.entry_pos),
+        jnp.asarray(index.entry_strand), bitmap,
+        k=cfg.k, w=cfg.w, bandwidth=cfg.bandwidth,
+        min_anchor_count=cfg.min_anchor_count,
+        min_chain_score=cfg.min_chain_score,
+        **caps,
+    )
+    return rids, {k: np.asarray(v) for k, v in out.items()}
+
+
+def test_device_mapper_matches_host():
+    rng = np.random.default_rng(42)
+    sim = simulate(rng, genome_length=30_000, coverage=6.0, read_length=5_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    reads = SequenceStore()
+    for name, seq in sim.read_records():
+        reads.add(name, add_noise(rng, seq, 0.05))
+
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+    rids, dev = _device_map(index, reads, cfg, max_pos=2048, max_per_hit=2)
+
+    assert not dev["overflow"].any(), "test data exceeded anchor budget"
+    for i, rid in enumerate(rids):
+        host = map_read(index, reads.sequence(rid), cfg, use_native=False)
+        n = int(dev["n_hits"][i])
+        assert n == len(host), (i, n, len(host))
+        for j, m in enumerate(host):
+            assert dev["unitig"][i, j] == m.unitig
+            assert bool(dev["strand"][i, j]) == m.strand
+            assert dev["qs"][i, j] == m.q_start
+            assert dev["qe"][i, j] == m.q_end
+            assert dev["ts"][i, j] == m.t_start
+            assert dev["te"][i, j] == m.t_end
+            assert dev["matches"][i, j] == m.matches
+            assert dev["n_anchors"][i, j] == m.n_anchors
+
+
+def test_device_mapper_no_hits_and_empty():
+    rng = np.random.default_rng(9)
+    store = SequenceStore()
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    store.add("u0", random_genome(rng, 1500))
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+
+    reads = SequenceStore()
+    reads.add("r0", random_genome(np.random.default_rng(777), 3000))
+    reads.add("r1", b"ACGT")  # shorter than k
+    rids, dev = _device_map(index, reads, cfg)
+    assert dev["n_hits"].tolist() == [0, 0]
+    assert not dev["overflow"].any()
+
+
+def test_device_mapper_overflow_flag():
+    """A read hitting an ultra-repetitive minimizer beyond max_per_hit
+    raises the overflow flag instead of silently truncating."""
+    rng = np.random.default_rng(10)
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    unit = random_genome(rng, 400)
+    store = SequenceStore()
+    for i in range(6):  # same sequence 6x -> every minimizer has 6 entries
+        store.add(f"u{i}", unit)
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+
+    reads = SequenceStore()
+    reads.add("r0", unit)
+    _, dev = _device_map(index, reads, cfg, max_per_hit=4)
+    assert dev["overflow"][0]
+    _, dev = _device_map(index, reads, cfg, max_per_hit=8)
+    assert not dev["overflow"][0]
+    assert dev["n_hits"][0] == 6
+
+
+def test_device_mapper_bitmap_prefilter_identical():
+    rng = np.random.default_rng(43)
+    sim = simulate(rng, genome_length=20_000, coverage=5.0, read_length=4_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    reads = SequenceStore()
+    for name, seq in sim.read_records():
+        reads.add(name, add_noise(rng, seq, 0.06))
+
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+    caps = dict(max_pos=2048, max_per_hit=2)
+    _, plain = _device_map(index, reads, cfg, use_bitmap=False, **caps)
+    _, pre = _device_map(index, reads, cfg, use_bitmap=True, **caps)
+    for key in plain:
+        np.testing.assert_array_equal(plain[key], pre[key], err_msg=key)

@@ -100,3 +100,58 @@ def test_sharded_myers(rng):
     d, total = sharded_myers(*args, mesh)
     np.testing.assert_array_equal(np.asarray(d), expected)
     assert int(np.asarray(total)) == int(expected.sum())
+
+
+def test_sharded_map_reads_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from muchsalsa_tpu.config import MapperConfig
+    from muchsalsa_tpu.io.fasta import SequenceStore
+    from muchsalsa_tpu.ops.mapping_jax import map_reads_device
+    from muchsalsa_tpu.parallel.sharded import sharded_map_reads
+    from muchsalsa_tpu.pipeline.mapper import MinimizerIndex
+    from muchsalsa_tpu.testing.simulate import add_noise, simulate
+    from muchsalsa_tpu.utils.seq import encode_2bit
+
+    rng = np.random.default_rng(77)
+    sim = simulate(rng, genome_length=16_000, coverage=4.0, read_length=3_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+
+    seqs = [add_noise(rng, seq, 0.04) for _, seq in sim.read_records()][:16]
+    L = max(len(s) for s in seqs)
+    R = 16
+    codes = np.full((R, L), 4, dtype=np.uint8)
+    lens = np.zeros(R, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        c = encode_2bit(s)
+        codes[i, : len(c)] = c
+        lens[i] = len(c)
+
+    index_arrays = (
+        jnp.asarray(index.hashes),
+        jnp.asarray(index.offsets.astype(np.int32)),
+        jnp.asarray(index.entry_unitig),
+        jnp.asarray(index.entry_pos),
+        jnp.asarray(index.entry_strand),
+    )
+    caps = dict(k=cfg.k, w=cfg.w, bandwidth=cfg.bandwidth,
+                min_anchor_count=cfg.min_anchor_count,
+                min_chain_score=cfg.min_chain_score,
+                max_pos=1024, max_per_hit=2)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("reads",))
+    out_sh, stats = sharded_map_reads(
+        jnp.asarray(codes), jnp.asarray(lens), index_arrays, mesh, **caps)
+    out_1 = map_reads_device(jnp.asarray(codes), jnp.asarray(lens),
+                             *index_arrays, **caps)
+
+    for key in ("unitig", "strand", "qs", "qe", "ts", "te", "matches",
+                "n_anchors", "n_hits"):
+        np.testing.assert_array_equal(np.asarray(out_sh[key]), np.asarray(out_1[key]))
+    assert float(stats[1]) == float(np.asarray(out_1["n_hits"]).sum())
