@@ -364,3 +364,93 @@ def sketch_batch_native(seqs: list[bytes], k, w, threads=0):
     lib.ms_sketch_batch_free()
     t = int(total)
     return read_offsets, pos[:t], h[:t], strand[:t].astype(bool)
+
+
+def _setup_kmer(lib):
+    import ctypes as ct
+
+    u8p = ct.POINTER(ct.c_uint8)
+    u64p = ct.POINTER(ct.c_uint64)
+    i64p = ct.POINTER(ct.c_int64)
+    lib.ms_count_kmers.argtypes = [u8p, i64p, ct.c_int64, ct.c_int32, ct.c_int32]
+    lib.ms_count_kmers.restype = ct.c_int64
+    lib.ms_count_kmers_copy.argtypes = [u64p, i64p]
+    lib.ms_filter_pairs.argtypes = [
+        u8p, i64p, u8p, i64p, ct.c_int64, ct.c_int32,
+        u64p, ct.c_int64, u8p, ct.c_int32,
+    ]
+    lib.ms_build_unitigs.argtypes = [u64p, ct.c_int64, ct.c_int32, ct.c_int32]
+    lib.ms_build_unitigs.restype = ct.c_int64
+    lib.ms_unitigs_blob_len.restype = ct.c_int64
+    lib.ms_unitigs_copy.argtypes = [u8p, i64p]
+
+
+def _kmer_lib():
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_kmer_ready"):
+        _setup_kmer(lib)
+        lib._kmer_ready = True
+    return lib
+
+
+def count_kmers_native(seqs: list[bytes], k: int, threads=0):
+    """Sorted unique canonical k-mers + counts in one multithreaded
+    call (jellyfish-count equivalent), or None."""
+    lib = _kmer_lib()
+    if lib is None:
+        return None
+    import ctypes as ct
+
+    blob, offsets = _blob_offsets(seqs)
+    n = lib.ms_count_kmers(
+        _p(blob, ct.c_uint8), _p(offsets, ct.c_int64), len(seqs), k, threads
+    )
+    vals = np.empty(max(int(n), 1), np.uint64)
+    counts = np.empty(max(int(n), 1), np.int64)
+    lib.ms_count_kmers_copy(_p(vals, ct.c_uint64), _p(counts, ct.c_int64))
+    lib.ms_count_kmers_free()
+    return vals[: int(n)], counts[: int(n)]
+
+
+def filter_pairs_native(pairs, bad_sorted: np.ndarray, k: int, threads=0):
+    """Keep-mask over read pairs (bbduk hdist=0 equivalent), or None."""
+    lib = _kmer_lib()
+    if lib is None:
+        return None
+    import ctypes as ct
+
+    blob1, off1 = _blob_offsets([a for a, _ in pairs])
+    blob2, off2 = _blob_offsets([b for _, b in pairs])
+    bad = np.ascontiguousarray(bad_sorted, dtype=np.uint64)
+    if len(bad) == 0:
+        bad = np.zeros(1, dtype=np.uint64)
+    keep = np.zeros(len(pairs), dtype=np.uint8)
+    lib.ms_filter_pairs(
+        _p(blob1, ct.c_uint8), _p(off1, ct.c_int64),
+        _p(blob2, ct.c_uint8), _p(off2, ct.c_int64),
+        len(pairs), k, _p(bad, ct.c_uint64), len(bad_sorted),
+        _p(keep, ct.c_uint8), threads,
+    )
+    return keep.astype(bool)
+
+
+def build_unitigs_native(kmers_sorted: np.ndarray, k: int, min_length: int):
+    """Maximal non-branching de Bruijn paths (abyss equivalent), or None."""
+    lib = _kmer_lib()
+    if lib is None:
+        return None
+    import ctypes as ct
+
+    km = np.ascontiguousarray(kmers_sorted, dtype=np.uint64)
+    if len(km) == 0:
+        return []
+    n = int(lib.ms_build_unitigs(_p(km, ct.c_uint64), len(km), k, min_length))
+    blob_len = int(lib.ms_unitigs_blob_len())
+    blob = np.empty(max(blob_len, 1), np.uint8)
+    offsets = np.empty(n + 1, np.int64)
+    lib.ms_unitigs_copy(_p(blob, ct.c_uint8), _p(offsets, ct.c_int64))
+    lib.ms_unitigs_free()
+    raw = blob.tobytes()
+    return [raw[offsets[i]:offsets[i + 1]] for i in range(n)]

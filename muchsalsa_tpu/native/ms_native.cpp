@@ -503,6 +503,7 @@ int64_t ms_map_read(const uint8_t *codes, int64_t len, int32_t k, int32_t w,
 // deterministic regardless of thread count: each read's hits are owned by
 // exactly one slot, flattened in read order.
 
+#include <array>
 #include <atomic>
 #include <thread>
 
@@ -675,6 +676,299 @@ void ms_sketch_batch_copy(int64_t *read_offsets, int32_t *pos, uint32_t *hash,
 void ms_sketch_batch_free() {
   delete g_sketch_batch;
   g_sketch_batch = nullptr;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// k-mer pipeline stage: canonical counting (jellyfish count/dump
+// equivalent, pipeline.sh:143-148), read-pair filtering (bbduk
+// hdist=0 equivalent, pipeline.sh:151), and de Bruijn unitig
+// construction (abyss-pe equivalent, pipeline.sh:157).  All mirror the
+// python implementations in pipeline/kmer.py / pipeline/dbg.py exactly
+// (tests assert identical outputs); counting and filtering fan out
+// over std::threads with per-bucket merges.
+
+namespace {
+
+// canonical k-mer extraction (k <= 31) appending to per-bucket vectors
+// (bucket = top 8 bits of the canonical value for a sorted global order)
+template <typename Sink>
+inline void extract_kmers(const uint8_t *ascii, int64_t len, int32_t k,
+                          Sink &&sink) {
+  const uint8_t *table = encode_table();
+  uint64_t fwd = 0, rc = 0;
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  int run = 0;  // consecutive valid bases
+  for (int64_t i = 0; i < len; ++i) {
+    uint8_t c = table[ascii[i]];
+    if (c >= 4) {
+      run = 0;
+      fwd = rc = 0;
+      continue;
+    }
+    fwd = ((fwd << 2) | c) & mask;
+    rc = (rc >> 2) | (static_cast<uint64_t>(3 - c) << (2 * (k - 1)));
+    if (++run >= k) sink(fwd < rc ? fwd : rc);
+  }
+}
+
+inline uint64_t revcomp_val(uint64_t v, int32_t k) {
+  // complement then reverse 2-bit fields
+  v = ~v;
+  v = ((v >> 2) & 0x3333333333333333ULL) | ((v & 0x3333333333333333ULL) << 2);
+  v = ((v >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((v & 0x0F0F0F0F0F0F0F0FULL) << 4);
+  v = ((v >> 8) & 0x00FF00FF00FF00FFULL) | ((v & 0x00FF00FF00FF00FFULL) << 8);
+  v = ((v >> 16) & 0x0000FFFF0000FFFFULL) | ((v & 0x0000FFFF0000FFFFULL) << 16);
+  v = (v >> 32) | (v << 32);
+  return v >> (64 - 2 * k);
+}
+
+struct KmerCountState {
+  std::vector<uint64_t> vals;
+  std::vector<int64_t> counts;
+};
+KmerCountState *g_kmer_state = nullptr;
+
+struct UnitigState {
+  std::vector<uint8_t> blob;
+  std::vector<int64_t> offsets;  // n+1
+};
+UnitigState *g_unitig_state = nullptr;
+
+}  // namespace
+
+extern "C" {
+
+int64_t ms_count_kmers(const uint8_t *ascii_blob, const int64_t *offsets,
+                       int64_t n_seqs, int32_t k, int32_t n_threads) {
+  delete g_kmer_state;
+  g_kmer_state = new KmerCountState();
+  if (n_threads <= 0)
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+  constexpr int B = 256;
+
+  // pass 1: per-thread, per-bucket extraction over a contiguous range
+  std::vector<std::array<std::vector<uint64_t>, B>> tl(n_threads);
+  std::atomic<int64_t> next(0);
+  auto extract_worker = [&](int t) {
+    auto &buckets = tl[t];
+    for (;;) {
+      int64_t s = next.fetch_add(256);  // 256 reads per grab
+      if (s >= n_seqs) break;
+      int64_t e = std::min<int64_t>(s + 256, n_seqs);
+      for (int64_t r = s; r < e; ++r) {
+        extract_kmers(ascii_blob + offsets[r], offsets[r + 1] - offsets[r], k,
+                      [&](uint64_t v) { buckets[v >> 56].push_back(v); });
+      }
+    }
+  };
+  {
+    std::vector<std::thread> threads;
+    for (int32_t t = 1; t < n_threads; ++t)
+      threads.emplace_back(extract_worker, t);
+    extract_worker(0);
+    for (auto &th : threads) th.join();
+  }
+
+  // pass 2: per-bucket merge + sort + unique-count, buckets in parallel
+  std::array<std::vector<uint64_t>, B> merged_vals;
+  std::array<std::vector<int64_t>, B> merged_counts;
+  std::atomic<int> next_b(0);
+  auto bucket_worker = [&]() {
+    for (;;) {
+      int b = next_b.fetch_add(1);
+      if (b >= B) break;
+      size_t total = 0;
+      for (auto &t : tl) total += t[b].size();
+      if (!total) continue;
+      std::vector<uint64_t> all;
+      all.reserve(total);
+      for (auto &t : tl) {
+        all.insert(all.end(), t[b].begin(), t[b].end());
+        t[b].clear();
+        t[b].shrink_to_fit();
+      }
+      std::sort(all.begin(), all.end());
+      auto &mv = merged_vals[b];
+      auto &mc = merged_counts[b];
+      for (size_t i = 0; i < all.size();) {
+        size_t j = i + 1;
+        while (j < all.size() && all[j] == all[i]) ++j;
+        mv.push_back(all[i]);
+        mc.push_back(static_cast<int64_t>(j - i));
+        i = j;
+      }
+    }
+  };
+  {
+    std::vector<std::thread> threads;
+    for (int32_t t = 1; t < n_threads; ++t) threads.emplace_back(bucket_worker);
+    bucket_worker();
+    for (auto &th : threads) th.join();
+  }
+
+  for (int b = 0; b < B; ++b) {
+    g_kmer_state->vals.insert(g_kmer_state->vals.end(), merged_vals[b].begin(),
+                              merged_vals[b].end());
+    g_kmer_state->counts.insert(g_kmer_state->counts.end(),
+                                merged_counts[b].begin(),
+                                merged_counts[b].end());
+  }
+  return static_cast<int64_t>(g_kmer_state->vals.size());
+}
+
+void ms_count_kmers_copy(uint64_t *vals, int64_t *counts) {
+  if (!g_kmer_state) return;
+  memcpy(vals, g_kmer_state->vals.data(),
+         g_kmer_state->vals.size() * sizeof(uint64_t));
+  memcpy(counts, g_kmer_state->counts.data(),
+         g_kmer_state->counts.size() * sizeof(int64_t));
+}
+
+void ms_count_kmers_free() {
+  delete g_kmer_state;
+  g_kmer_state = nullptr;
+}
+
+// keep[i] = 1 iff neither mate of pair i contains a bad k-mer
+void ms_filter_pairs(const uint8_t *blob1, const int64_t *off1,
+                     const uint8_t *blob2, const int64_t *off2,
+                     int64_t n_pairs, int32_t k, const uint64_t *bad,
+                     int64_t n_bad, uint8_t *keep, int32_t n_threads) {
+  if (n_threads <= 0)
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t s = next.fetch_add(256);
+      if (s >= n_pairs) break;
+      int64_t e = std::min<int64_t>(s + 256, n_pairs);
+      for (int64_t i = s; i < e; ++i) {
+        bool clean = true;
+        auto check = [&](const uint8_t *blob, const int64_t *off) {
+          if (!clean) return;
+          bool hit = false;
+          extract_kmers(blob + off[i], off[i + 1] - off[i], k,
+                        [&](uint64_t v) {
+                          if (hit) return;
+                          hit = std::binary_search(bad, bad + n_bad, v);
+                        });
+          if (hit) clean = false;
+        };
+        if (n_bad) {
+          check(blob1, off1);
+          check(blob2, off2);
+        }
+        keep[i] = clean ? 1 : 0;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int32_t t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto &th : threads) th.join();
+}
+
+// de Bruijn unitigs from a sorted canonical k-mer set (python
+// UnitigBuilder.build parity: same walk rules, same ascending start
+// order, deterministic output)
+int64_t ms_build_unitigs(const uint64_t *kmers, int64_t n, int32_t k,
+                         int32_t min_length) {
+  delete g_unitig_state;
+  g_unitig_state = new UnitigState();
+  g_unitig_state->offsets.push_back(0);
+  std::vector<uint8_t> visited(n, 0);
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+
+  auto find = [&](uint64_t canon) -> int64_t {
+    const uint64_t *lo = std::lower_bound(kmers, kmers + n, canon);
+    if (lo == kmers + n || *lo != canon) return -1;
+    return lo - kmers;
+  };
+  auto canon_of = [&](uint64_t v) {
+    uint64_t r = revcomp_val(v, k);
+    return v < r ? v : r;
+  };
+  // unique extension of v in the given direction; returns count and
+  // writes the single extension to *out
+  auto extensions = [&](uint64_t v, bool forward, uint64_t *out) {
+    int cnt = 0;
+    for (uint64_t b = 0; b < 4; ++b) {
+      uint64_t nxt = forward ? (((v << 2) | b) & mask)
+                             : ((v >> 2) | (b << (2 * (k - 1))));
+      if (find(canon_of(nxt)) >= 0) {
+        if (cnt == 0) *out = nxt;
+        ++cnt;
+        if (cnt > 1) break;
+      }
+    }
+    return cnt;
+  };
+
+  std::vector<uint64_t> fwd_path, bwd_path;
+  static const char DECODE[4] = {'A', 'C', 'G', 'T'};
+
+  for (int64_t s = 0; s < n; ++s) {
+    if (visited[s]) continue;
+    visited[s] = 1;
+    uint64_t start = kmers[s];
+
+    auto walk = [&](uint64_t v, bool forward, std::vector<uint64_t> &path) {
+      path.clear();
+      uint64_t cur = v;
+      for (;;) {
+        uint64_t nxt;
+        if (extensions(cur, forward, &nxt) != 1) break;
+        uint64_t c = canon_of(nxt);
+        int64_t ci = find(c);
+        if (ci < 0 || visited[ci] || c == canon_of(cur)) break;
+        uint64_t back;
+        if (extensions(nxt, !forward, &back) != 1) break;
+        path.push_back(nxt);
+        visited[ci] = 1;
+        cur = nxt;
+      }
+    };
+
+    walk(start, true, fwd_path);
+    walk(start, false, bwd_path);
+
+    auto &blob = g_unitig_state->blob;
+    size_t begin = blob.size();
+    uint64_t first = bwd_path.empty() ? start : bwd_path.back();
+    for (int32_t i = 0; i < k; ++i)
+      blob.push_back(DECODE[(first >> (2 * (k - 1 - i))) & 3]);
+    auto emit_tail = [&](uint64_t v) { blob.push_back(DECODE[v & 3]); };
+    for (auto it = bwd_path.rbegin(); it != bwd_path.rend(); ++it)
+      if (it != bwd_path.rbegin()) emit_tail(*it);
+    if (!bwd_path.empty()) emit_tail(start);
+    for (uint64_t v : fwd_path) emit_tail(v);
+
+    if (blob.size() - begin >= static_cast<size_t>(min_length)) {
+      g_unitig_state->offsets.push_back(static_cast<int64_t>(blob.size()));
+    } else {
+      blob.resize(begin);
+    }
+  }
+  return static_cast<int64_t>(g_unitig_state->offsets.size()) - 1;
+}
+
+int64_t ms_unitigs_blob_len() {
+  return g_unitig_state ? static_cast<int64_t>(g_unitig_state->blob.size()) : 0;
+}
+
+void ms_unitigs_copy(uint8_t *blob, int64_t *offsets) {
+  if (!g_unitig_state) return;
+  if (!g_unitig_state->blob.empty())
+    memcpy(blob, g_unitig_state->blob.data(), g_unitig_state->blob.size());
+  memcpy(offsets, g_unitig_state->offsets.data(),
+         g_unitig_state->offsets.size() * sizeof(int64_t));
+}
+
+void ms_unitigs_free() {
+  delete g_unitig_state;
+  g_unitig_state = nullptr;
 }
 
 }  // extern "C"

@@ -38,8 +38,16 @@ class UnitigBuilder:
     def __init__(self, seqs, k: int = 31, min_count: int = 2):
         self.k = k
         uniq, counts = count_kmers(seqs, k)
-        keep = counts >= min_count
-        self.kmers = set(int(x) for x in uniq[keep])
+        self._kmers_sorted = uniq[counts >= min_count]
+        self._kmers_set: set[int] | None = None
+
+    @property
+    def kmers(self) -> set[int]:
+        # python-path membership set, built lazily (the native build
+        # binary-searches the sorted array instead)
+        if self._kmers_set is None:
+            self._kmers_set = set(int(x) for x in self._kmers_sorted)
+        return self._kmers_set
 
     def _extensions(self, v: int, forward: bool) -> list[tuple[int, int]]:
         """Canonical-set successors (forward) / predecessors of k-mer v."""
@@ -57,6 +65,17 @@ class UnitigBuilder:
 
     def build(self, min_length: int = 500) -> list[bytes]:
         k = self.k
+        if k <= 31:
+            from muchsalsa_tpu import native
+
+            if native.available():
+                out = native.build_unitigs_native(
+                    np.ascontiguousarray(self._kmers_sorted, dtype=np.uint64),
+                    k, min_length,
+                )
+                if out is not None:
+                    return out
+
         visited: set[int] = set()
         unitigs: list[bytes] = []
 

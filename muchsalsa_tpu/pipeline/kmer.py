@@ -42,8 +42,18 @@ def kmer_values64(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
 def count_kmers(seqs, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Canonical k-mer counting over an iterable of byte sequences.
 
-    Returns (sorted unique uint64 values, counts).
+    Returns (sorted unique uint64 values, counts).  Uses the
+    multithreaded native counter when available (jellyfish-count
+    equivalent; identical output to the python path).
     """
+    if k <= 31:
+        from muchsalsa_tpu import native
+
+        if native.available():
+            out = native.count_kmers_native(list(seqs), k)
+            if out is not None:
+                return out
+
     chunks = []
     for seq in seqs:
         vals, valid = kmer_values64(encode_2bit(seq), k)
@@ -96,6 +106,14 @@ def filter_read_pairs(
 ) -> list[tuple[bytes, bytes]]:
     """bbduk-equivalent: drop pairs where either mate contains a bad k-mer."""
     bad_sorted = np.sort(bad_kmers)
+
+    if k <= 31:
+        from muchsalsa_tpu import native
+
+        if native.available():
+            keep = native.filter_pairs_native(pairs, bad_sorted, k)
+            if keep is not None:
+                return [p for p, ok in zip(pairs, keep) if ok]
 
     def is_clean(seq: bytes) -> bool:
         vals, valid = kmer_values64(encode_2bit(seq), k)

@@ -62,3 +62,157 @@ def test_native_fastq_matches_python(tmp_path):
     assert py.registry.names() == nat.registry.names()
     for i in py.ids():
         assert py.sequence(i) == nat.sequence(i)
+
+
+def test_native_kmer_count_matches_python():
+    import os
+
+    import numpy as np
+
+    from muchsalsa_tpu import native
+    from muchsalsa_tpu.pipeline import kmer
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(5)
+    seqs = [random_genome(rng, int(rng.integers(10, 400))) for _ in range(50)]
+    seqs.append(b"ACGTNNNACGTACGTACGTNACGTACGTACGTACGT")  # invalid bases
+    seqs.append(b"AC")  # shorter than k
+
+    for k in (15, 21, 31):
+        got = native.count_kmers_native(seqs, k)
+        os.environ["MS_TPU_NO_NATIVE"] = "1"
+        try:
+            # python reference path (native module already loaded, so
+            # gate through the pure-python code directly)
+            chunks = []
+            from muchsalsa_tpu.utils.seq import encode_2bit
+
+            for seq in seqs:
+                vals, valid = kmer.kmer_values64(encode_2bit(seq), k)
+                if len(vals):
+                    chunks.append(vals[valid])
+            allv = np.concatenate(chunks)
+            uniq, counts = np.unique(allv, return_counts=True)
+        finally:
+            del os.environ["MS_TPU_NO_NATIVE"]
+        np.testing.assert_array_equal(got[0], uniq)
+        np.testing.assert_array_equal(got[1], counts.astype(np.int64))
+
+
+def test_native_filter_pairs_matches_python():
+    import numpy as np
+
+    from muchsalsa_tpu import native
+    from muchsalsa_tpu.pipeline.kmer import kmer_values64
+    from muchsalsa_tpu.testing.simulate import random_genome
+    from muchsalsa_tpu.utils.seq import encode_2bit
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(6)
+    k = 15
+    pairs = [
+        (random_genome(rng, 100), random_genome(rng, 100)) for _ in range(200)
+    ]
+    # bad k-mers drawn from some reads so the filter actually fires
+    bad = []
+    for a, b in pairs[::7]:
+        v, ok = kmer_values64(encode_2bit(a), k)
+        bad.append(v[ok][0])
+    bad_sorted = np.sort(np.asarray(bad, dtype=np.uint64))
+
+    keep = native.filter_pairs_native(pairs, bad_sorted, k)
+
+    def is_clean(seq):
+        vals, valid = kmer_values64(encode_2bit(seq), k)
+        vals = vals[valid]
+        pos = np.minimum(np.searchsorted(bad_sorted, vals), len(bad_sorted) - 1)
+        return not bool(np.any(bad_sorted[pos] == vals))
+
+    expected = [is_clean(a) and is_clean(b) for a, b in pairs]
+    assert keep.tolist() == expected
+    assert not all(expected)  # the filter fired
+
+
+def test_native_unitigs_match_python():
+    import numpy as np
+
+    from muchsalsa_tpu import native
+    from muchsalsa_tpu.pipeline.dbg import UnitigBuilder
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    genome = random_genome(rng, 4000)
+    # overlapping error-free fragments, 2x so min_count=2 keeps them
+    seqs = []
+    for rep in range(2):
+        for s in range(0, 3800, 90):
+            seqs.append(genome[s : s + 200])
+
+    b = UnitigBuilder(seqs, k=31, min_count=2)
+    got = native.build_unitigs_native(
+        np.ascontiguousarray(b._kmers_sorted, dtype=np.uint64), 31, 500
+    )
+
+    # python walk on the same k-mer set
+    expected = []
+    k = b.k
+    visited = set()
+    km = b.kmers
+    from muchsalsa_tpu.pipeline.dbg import _canon
+
+    DECODE = b"ACGT"
+    mask = (1 << (2 * k)) - 1
+
+    def extensions(v, forward):
+        out = []
+        for bb in range(4):
+            nxt = ((v << 2) | bb) & mask if forward else (v >> 2) | (bb << (2 * (k - 1)))
+            if _canon(nxt, k) in km:
+                out.append(nxt)
+        return out
+
+    for start in sorted(km):
+        if start in visited:
+            continue
+        visited.add(start)
+
+        def walk(v, forward):
+            path = []
+            cur = v
+            while True:
+                exts = extensions(cur, forward)
+                if len(exts) != 1:
+                    break
+                nxt = exts[0]
+                c = _canon(nxt, k)
+                if c in visited or c == _canon(cur, k):
+                    break
+                if len(extensions(nxt, not forward)) != 1:
+                    break
+                path.append(nxt)
+                visited.add(c)
+                cur = nxt
+            return path
+
+        fwd = walk(start, True)
+        bwd = walk(start, False)
+        chain = list(reversed(bwd)) + [start] + fwd
+        seq = bytearray()
+        first = chain[0]
+        for i in range(k):
+            seq.append(DECODE[(first >> (2 * (k - 1 - i))) & 3])
+        for v in chain[1:]:
+            seq.append(DECODE[v & 3])
+        if len(seq) >= 500:
+            expected.append(bytes(seq))
+
+    assert got == expected
+    assert len(got) >= 1
