@@ -87,6 +87,56 @@ def max_span_tree(graph: Graph) -> Graph:
     return tree
 
 
+class _TreePaths:
+    """O(path)-time unique-path queries on a spanning forest: one BFS
+    per component precomputes parent/depth, then queries climb parent
+    pointers.  Identical output to ``shortest_path`` on the tree (tree
+    paths are unique), without the per-query whole-component BFS the
+    reference does (``GraphUtil::getShortestPath`` from ``decycle``,
+    ``main.cpp:591``)."""
+
+    def __init__(self, tree: Graph):
+        from collections import deque
+
+        self.parent: dict[int, int] = {}
+        self.depth: dict[int, int] = {}
+        for root in tree.vertices:
+            if root in self.parent:
+                continue
+            self.parent[root] = root
+            self.depth[root] = 0
+            queue = deque([root])
+            while queue:
+                cur = queue.popleft()
+                for nb in tree.neighbors(cur):
+                    if nb in self.parent:
+                        continue
+                    self.parent[nb] = cur
+                    self.depth[nb] = self.depth[cur] + 1
+                    queue.append(nb)
+
+    def path(self, u: int, v: int) -> list[int]:
+        if u not in self.depth or v not in self.depth:
+            return []
+        up, vp = u, v
+        left: list[int] = [up]
+        right: list[int] = [vp]
+        while self.depth[up] > self.depth[vp]:
+            up = self.parent[up]
+            left.append(up)
+        while self.depth[vp] > self.depth[up]:
+            vp = self.parent[vp]
+            right.append(vp)
+        while up != vp:
+            if self.parent[up] == up:  # different components
+                return []
+            up = self.parent[up]
+            left.append(up)
+            vp = self.parent[vp]
+            right.append(vp)
+        return left + right[-2::-1]
+
+
 def decycle(
     graph: Graph,
     tree: Graph,
@@ -96,12 +146,13 @@ def decycle(
     """main.cpp:575-618 — detect orientation-inconsistent off-tree edges
     and nominate edges for deletion."""
     deletable: set[Edge] = set()
+    tree_paths = _TreePaths(tree)
     for edge in graph.edges():
         if edge.consensus_direction == Direction.NONE:
             continue
         if tree.has_edge(edge.v, edge.w):
             continue
-        path = shortest_path(tree, edge.v, edge.w)
+        path = tree_paths.path(edge.v, edge.w)
         direction = edge.consensus_direction == Direction.POS
         weights: list[float] = []
         path_edges: list[Edge] = []

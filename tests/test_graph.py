@@ -95,3 +95,29 @@ def test_shortest_path():
     assert shortest_path(g, 2, 2) == [2]
     g2 = build_graph([(0, 1), (2, 3)])
     assert shortest_path(g2, 0, 3) == []
+
+
+def test_tree_paths_match_bfs_shortest_path():
+    import numpy as np
+
+    from muchsalsa_tpu.assemble.spanning import _TreePaths, max_span_tree
+    from muchsalsa_tpu.graph.graph import Direction, Graph, VertexInfo, shortest_path
+
+    rng = np.random.default_rng(33)
+    g = Graph()
+    n = 60
+    for i in range(n):
+        g.add_vertex(VertexInfo(i, 100, i))
+    # random connected-ish graph with direction-consistent edges
+    for _ in range(150):
+        a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+        if a == b or g.has_edge(a, b):
+            continue
+        e = g.add_edge(a, b)
+        e.weight = int(rng.integers(1, 100))
+        e.consensus_direction = Direction.POS
+    tree = max_span_tree(g)
+    tp = _TreePaths(tree)
+    for _ in range(200):
+        u, v = int(rng.integers(0, n)), int(rng.integers(0, n))
+        assert tp.path(u, v) == shortest_path(tree, u, v), (u, v)
