@@ -454,3 +454,50 @@ def build_unitigs_native(kmers_sorted: np.ndarray, k: int, min_length: int):
     lib.ms_unitigs_free()
     raw = blob.tobytes()
     return [raw[offsets[i]:offsets[i + 1]] for i in range(n)]
+
+
+def build_index_native(seqs: list[bytes], ids: np.ndarray, k: int, w: int,
+                       max_occ: int, threads=0):
+    """Build the whole minimizer index (sorted unique hashes + CSR
+    entries, repeat-masked) in one multithreaded call, byte-identical
+    to MinimizerIndex.build's python path.  Returns
+    (hashes, offsets, unitig, pos, strand) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_index_ready"):
+        import ctypes as ct
+
+        u8p = ct.POINTER(ct.c_uint8)
+        i32p = ct.POINTER(ct.c_int32)
+        i64p = ct.POINTER(ct.c_int64)
+        u32p = ct.POINTER(ct.c_uint32)
+        lib.ms_build_index.argtypes = [
+            u8p, i64p, ct.c_int64, i32p, ct.c_int32, ct.c_int32,
+            ct.c_int64, ct.c_int32,
+        ]
+        lib.ms_build_index.restype = ct.c_int64
+        lib.ms_index_entries.restype = ct.c_int64
+        lib.ms_index_copy.argtypes = [u32p, i64p, i32p, i32p, u8p]
+        lib._index_ready = True
+    import ctypes as ct
+
+    blob, offsets = _blob_offsets(seqs)
+    ids32 = np.ascontiguousarray(ids, dtype=np.int32)
+    n_uniq = int(lib.ms_build_index(
+        _p(blob, ct.c_uint8), _p(offsets, ct.c_int64), len(seqs),
+        _p(ids32, ct.c_int32), k, w, max_occ, threads,
+    ))
+    n_entries = int(lib.ms_index_entries())
+    uniq = np.empty(max(n_uniq, 1), np.uint32)
+    offs = np.empty(n_uniq + 1, np.int64)
+    unitig = np.empty(max(n_entries, 1), np.int32)
+    pos = np.empty(max(n_entries, 1), np.int32)
+    strand = np.empty(max(n_entries, 1), np.uint8)
+    lib.ms_index_copy(
+        _p(uniq, ct.c_uint32), _p(offs, ct.c_int64),
+        _p(unitig, ct.c_int32), _p(pos, ct.c_int32), _p(strand, ct.c_uint8),
+    )
+    lib.ms_index_free()
+    return (uniq[:n_uniq], offs, unitig[:n_entries], pos[:n_entries],
+            strand[:n_entries].astype(bool))

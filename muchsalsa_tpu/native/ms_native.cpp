@@ -972,3 +972,154 @@ void ms_unitigs_free() {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// minimizer index construction: sketch every sequence, stable-sort the
+// (hash, unitig, pos, strand) entries by hash, CSR-group by unique hash
+// and drop repeat buckets (> max_occ).  Byte-identical to
+// pipeline/mapper.py::MinimizerIndex.build (stable concatenation order,
+// same repeat mask); the hash-major order comes from 256 top-byte radix
+// buckets filled in global order + per-bucket stable sorts (parallel).
+
+namespace {
+
+struct IndexState {
+  std::vector<uint32_t> uniq;
+  std::vector<int64_t> offsets;
+  std::vector<int32_t> unitig;
+  std::vector<int32_t> pos;
+  std::vector<uint8_t> strand;
+};
+IndexState *g_index_state = nullptr;
+
+struct IndexEntry {
+  uint32_t hash;
+  int32_t unitig;
+  int32_t pos;
+  uint8_t strand;
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t ms_build_index(const uint8_t *ascii_blob, const int64_t *offsets,
+                       int64_t n_seqs, const int32_t *ids, int32_t k,
+                       int32_t w, int64_t max_occ, int32_t n_threads) {
+  delete g_index_state;
+  g_index_state = new IndexState();
+  if (n_threads <= 0)
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+  constexpr int B = 256;
+  const uint8_t *table = encode_table();
+
+  // contiguous chunk per thread so bucket order == global order
+  std::vector<std::array<std::vector<IndexEntry>, B>> tl(n_threads);
+  std::vector<std::thread> threads;
+  int64_t per = (n_seqs + n_threads - 1) / n_threads;
+  auto sketch_worker = [&](int t) {
+    auto &buckets = tl[t];
+    std::vector<uint8_t> codes;
+    std::vector<int32_t> mpos;
+    std::vector<uint32_t> mhash;
+    std::vector<uint8_t> mstrand;
+    int64_t s = t * per, e = std::min<int64_t>(s + per, n_seqs);
+    for (int64_t r = s; r < e; ++r) {
+      int64_t len = offsets[r + 1] - offsets[r];
+      codes.resize(std::max<int64_t>(len, 1));
+      for (int64_t i = 0; i < len; ++i)
+        codes[i] = table[ascii_blob[offsets[r] + i]];
+      mpos.resize(std::max<int64_t>(len, 1));
+      mhash.resize(std::max<int64_t>(len, 1));
+      mstrand.resize(std::max<int64_t>(len, 1));
+      int64_t cnt = ms_minimizers(codes.data(), len, k, w, mpos.data(),
+                                  mhash.data(), mstrand.data());
+      for (int64_t i = 0; i < cnt; ++i) {
+        IndexEntry en{mhash[i], ids[r], mpos[i], mstrand[i]};
+        buckets[en.hash >> 24].push_back(en);
+      }
+    }
+  };
+  for (int32_t t = 1; t < n_threads; ++t) threads.emplace_back(sketch_worker, t);
+  sketch_worker(0);
+  for (auto &th : threads) th.join();
+  threads.clear();
+
+  // per-bucket: merge thread chunks in order, stable-sort by hash,
+  // CSR-group, apply the repeat mask
+  std::array<IndexState, B> parts;
+  std::atomic<int> next_b(0);
+  auto bucket_worker = [&]() {
+    std::vector<IndexEntry> all;
+    for (;;) {
+      int b = next_b.fetch_add(1);
+      if (b >= B) break;
+      size_t total = 0;
+      for (auto &t : tl) total += t[b].size();
+      if (!total) continue;
+      all.clear();
+      all.reserve(total);
+      for (auto &t : tl)
+        all.insert(all.end(), t[b].begin(), t[b].end());
+      std::stable_sort(all.begin(), all.end(),
+                       [](const IndexEntry &x, const IndexEntry &y) {
+                         return x.hash < y.hash;
+                       });
+      auto &p = parts[b];
+      for (size_t i = 0; i < all.size();) {
+        size_t j = i + 1;
+        while (j < all.size() && all[j].hash == all[i].hash) ++j;
+        if (static_cast<int64_t>(j - i) <= max_occ) {
+          p.uniq.push_back(all[i].hash);
+          p.offsets.push_back(static_cast<int64_t>(j - i));  // group size
+          for (size_t q = i; q < j; ++q) {
+            p.unitig.push_back(all[q].unitig);
+            p.pos.push_back(all[q].pos);
+            p.strand.push_back(all[q].strand);
+          }
+        }
+        i = j;
+      }
+    }
+  };
+  for (int32_t t = 1; t < n_threads; ++t) threads.emplace_back(bucket_worker);
+  bucket_worker();
+  for (auto &th : threads) th.join();
+
+  auto &st = *g_index_state;
+  st.offsets.push_back(0);
+  for (int b = 0; b < B; ++b) {
+    auto &p = parts[b];
+    st.uniq.insert(st.uniq.end(), p.uniq.begin(), p.uniq.end());
+    for (int64_t c : p.offsets) st.offsets.push_back(st.offsets.back() + c);
+    st.unitig.insert(st.unitig.end(), p.unitig.begin(), p.unitig.end());
+    st.pos.insert(st.pos.end(), p.pos.begin(), p.pos.end());
+    st.strand.insert(st.strand.end(), p.strand.begin(), p.strand.end());
+  }
+  return static_cast<int64_t>(st.uniq.size());
+}
+
+int64_t ms_index_entries() {
+  return g_index_state ? static_cast<int64_t>(g_index_state->unitig.size()) : 0;
+}
+
+void ms_index_copy(uint32_t *uniq, int64_t *offsets, int32_t *unitig,
+                   int32_t *pos, uint8_t *strand) {
+  if (!g_index_state) return;
+  auto &st = *g_index_state;
+  if (!st.uniq.empty())
+    memcpy(uniq, st.uniq.data(), st.uniq.size() * sizeof(uint32_t));
+  memcpy(offsets, st.offsets.data(), st.offsets.size() * sizeof(int64_t));
+  if (!st.unitig.empty()) {
+    memcpy(unitig, st.unitig.data(), st.unitig.size() * sizeof(int32_t));
+    memcpy(pos, st.pos.data(), st.pos.size() * sizeof(int32_t));
+    memcpy(strand, st.strand.data(), st.strand.size());
+  }
+}
+
+void ms_index_free() {
+  delete g_index_state;
+  g_index_state = nullptr;
+}
+
+}  // extern "C"

@@ -60,7 +60,6 @@ class MinimizerIndex:
         all_h, all_u, all_p, all_s = [], [], [], []
         lengths = {}
 
-        batch = None
         if sketches is None and cfg.k <= 15:
             from muchsalsa_tpu import native
 
@@ -70,26 +69,34 @@ class MinimizerIndex:
                     lengths[uid] = len(seq)
                     ids.append(uid)
                     seqs.append(seq)
-                batch = native.sketch_batch_native(seqs, cfg.k, cfg.w)
-                if batch is not None:
-                    read_offsets, pos, h, strand = batch
-                    counts = np.diff(read_offsets)
-                    all_h = [h]
-                    all_p = [pos]
-                    all_s = [strand]
-                    all_u = [np.repeat(np.asarray(ids, dtype=np.int32), counts)]
+                built = native.build_index_native(
+                    seqs, np.asarray(ids, dtype=np.int32),
+                    cfg.k, cfg.w, cfg.max_occ,
+                )
+                if built is not None:
+                    uniq, offsets, u, p, s = built
+                    return MinimizerIndex(
+                        hashes=uniq,
+                        offsets=offsets,
+                        entry_unitig=u,
+                        entry_pos=p,
+                        entry_strand=s,
+                        unitig_ids=store.ids(),
+                        unitig_lengths=lengths,
+                        k=cfg.k,
+                        w=cfg.w,
+                    )
 
-        if batch is None:
-            for uid, seq in store.items():
-                lengths[uid] = len(seq)
-                if sketches is not None and uid in sketches:
-                    pos, h, strand = sketches[uid]
-                else:
-                    pos, h, strand = minimizers(seq, cfg.k, cfg.w)
-                all_h.append(h)
-                all_p.append(pos.astype(np.int32))
-                all_s.append(strand)
-                all_u.append(np.full(len(pos), uid, dtype=np.int32))
+        for uid, seq in store.items():
+            lengths[uid] = len(seq)
+            if sketches is not None and uid in sketches:
+                pos, h, strand = sketches[uid]
+            else:
+                pos, h, strand = minimizers(seq, cfg.k, cfg.w)
+            all_h.append(h)
+            all_p.append(pos.astype(np.int32))
+            all_s.append(strand)
+            all_u.append(np.full(len(pos), uid, dtype=np.int32))
 
         if all_h:
             h = np.concatenate(all_h)

@@ -216,3 +216,42 @@ def test_native_unitigs_match_python():
 
     assert got == expected
     assert len(got) >= 1
+
+
+def test_native_index_build_matches_python():
+    import numpy as np
+
+    from muchsalsa_tpu import native
+    from muchsalsa_tpu.config import MapperConfig
+    from muchsalsa_tpu.io.fasta import SequenceStore
+    from muchsalsa_tpu.ops.minimizer import minimizers
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(8)
+    store = SequenceStore()
+    dup = random_genome(rng, 300)
+    for i in range(40):
+        store.add(f"s{i}", random_genome(rng, int(rng.integers(20, 600))))
+    for i in range(12):  # force repeat buckets beyond max_occ
+        store.add(f"d{i}", dup)
+
+    cfg = MapperConfig()
+    from muchsalsa_tpu.pipeline.mapper import MinimizerIndex
+
+    got = MinimizerIndex.build(store, cfg)
+
+    # python reference: precomputed sketches force the python path
+    sketches = {
+        uid: minimizers(seq, cfg.k, cfg.w) for uid, seq in store.items()
+    }
+    ref = MinimizerIndex.build(store, cfg, sketches=sketches)
+
+    np.testing.assert_array_equal(got.hashes, ref.hashes)
+    np.testing.assert_array_equal(got.offsets, ref.offsets)
+    np.testing.assert_array_equal(got.entry_unitig, ref.entry_unitig)
+    np.testing.assert_array_equal(got.entry_pos, ref.entry_pos)
+    np.testing.assert_array_equal(got.entry_strand, ref.entry_strand)
+    assert got.unitig_lengths == ref.unitig_lengths
