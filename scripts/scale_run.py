@@ -22,6 +22,7 @@ def main():
     genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 12.0
     coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 12.0
     out = Path(sys.argv[3]) if len(sys.argv) > 3 else Path("/tmp/scale_run")
+    illu_cov = float(sys.argv[4]) if len(sys.argv) > 4 else 30.0
     out.mkdir(parents=True, exist_ok=True)
 
     rng = np.random.default_rng(1234)
@@ -47,7 +48,7 @@ def main():
 
     nano = out / "nanopore.fa"
     write_fasta(nano, noisy_reads())
-    pairs = illumina_pairs(rng, sim.genome, coverage=30.0)
+    pairs = illumina_pairs(rng, sim.genome, coverage=illu_cov)
     illu1, illu2 = out / "illu1.fa", out / "illu2.fa"
     write_fasta(illu1, ((f"p{i}/1", a) for i, (a, b) in enumerate(pairs)))
     write_fasta(illu2, ((f"p{i}/2", b) for i, (a, b) in enumerate(pairs)))
