@@ -113,13 +113,14 @@ def find_cluster_weights(dig: DiGraph) -> dict[Edge, int]:
                     i += 1
 
             filtered = []
-            for i, (open_o, vis_o) in enumerate(candidates):
+            vis_sets = [set(vis) for _, vis in candidates]
+            for i, (open_o, _vis_o) in enumerate(candidates):
                 dominated = False
-                vis_o_set = set(vis_o)
-                for j, (open_i, vis_i) in enumerate(candidates):
+                vis_o_set = vis_sets[i]
+                for j, (open_i, _vis_i) in enumerate(candidates):
                     if i == j:
                         continue
-                    if open_o <= open_i and vis_o_set <= set(vis_i):
+                    if open_o <= open_i and vis_o_set <= vis_sets[j]:
                         dominated = True
                         break
                 if not dominated:
