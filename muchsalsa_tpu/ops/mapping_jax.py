@@ -58,9 +58,36 @@ def _seg_reduce_to_starts(vals, new_seg, combine, axis=1):
     return rev(scanned)
 
 
+RANK_LOG2 = 20  # rank-table buckets over the 32-bit hash space
+
+
+def build_join_tables(idx_hashes) -> tuple:
+    """Host-side auxiliary tables for the device join: the occupancy
+    bitmap (see ``minimizer_jax.build_hash_bitmap``) plus a rank table
+    ``rank[b] = lower_bound(hashes, b << (32-RANK_LOG2))`` that bounds
+    the binary search to one bucket (~5 rounds instead of 20 for a
+    1M-entry index), and the static round count for the largest bucket.
+
+    Returns (bitmap, rank_table, rounds) — pass to
+    :func:`map_reads_device`.
+    """
+    import numpy as _np
+
+    from muchsalsa_tpu.ops.minimizer_jax import build_hash_bitmap
+
+    h = _np.asarray(idx_hashes, dtype=_np.uint32)
+    bounds = (_np.arange(1 << RANK_LOG2, dtype=_np.uint64)
+              << (32 - RANK_LOG2)).astype(_np.uint32)
+    rank = _np.searchsorted(h, bounds).astype(_np.int32)
+    rank = _np.concatenate([rank, _np.int32([len(h)])])
+    max_gap = int(_np.max(_np.diff(rank))) if len(h) else 0
+    rounds = max(int(_np.ceil(_np.log2(max_gap + 1))), 1)
+    return build_hash_bitmap(h), jnp.asarray(rank), rounds
+
+
 @partial(jax.jit, static_argnames=(
     "k", "w", "bandwidth", "min_anchor_count", "min_chain_score",
-    "max_pos", "max_per_hit", "max_hits", "log2_bits"))
+    "max_pos", "max_per_hit", "max_hits", "log2_bits", "join_rounds"))
 def map_reads_device(
     codes: jnp.ndarray,        # (R, L) uint8/int32, pad = 4
     lens: jnp.ndarray,         # (R,)
@@ -69,7 +96,8 @@ def map_reads_device(
     entry_unitig: jnp.ndarray, # (E,) int32
     entry_pos: jnp.ndarray,    # (E,) int32
     entry_strand: jnp.ndarray, # (E,) bool
-    bitmap: jnp.ndarray | None = None,  # build_hash_bitmap(idx_hashes)
+    bitmap: jnp.ndarray | None = None,  # build_join_tables(idx_hashes)[0]
+    rank_table: jnp.ndarray | None = None,  # build_join_tables(...)[1]
     k: int = 15,
     w: int = 5,
     bandwidth: int = 500,
@@ -79,6 +107,7 @@ def map_reads_device(
     max_per_hit: int = 4,
     max_hits: int = 64,
     log2_bits: int = 28,
+    join_rounds: int = 0,  # rounds for the rank-bounded search (static)
 ):
     """Map every read against the index on the device.
 
@@ -130,8 +159,22 @@ def map_reads_device(
     strand_c = take(strand)
     t_c = pos_safe                           # anchor read position
 
-    # exact membership join on the compacted candidates only
-    loc = jnp.clip(jnp.searchsorted(idx_hashes, h_c), 0, max(H - 1, 0))
+    # exact membership join on the compacted candidates only.  With a
+    # rank table the binary search is bounded to one rank bucket
+    # (join_rounds ~ log2(max bucket) instead of log2(H)).
+    if rank_table is not None and join_rounds > 0 and H:
+        b = (h_c >> jnp.uint32(32 - RANK_LOG2)).astype(jnp.int32)
+        lo_b = rank_table[b]
+        hi_b = rank_table[b + 1]
+        for _ in range(join_rounds):
+            mid = (lo_b + hi_b) // 2
+            mv = idx_hashes[jnp.clip(mid, 0, H - 1)]
+            go_right = (mv < h_c) & (lo_b < hi_b)
+            hi_b = jnp.where((~go_right) & (lo_b < hi_b), mid, hi_b)
+            lo_b = jnp.where(go_right, mid + 1, lo_b)
+        loc = jnp.clip(lo_b, 0, H - 1)
+    else:
+        loc = jnp.clip(jnp.searchsorted(idx_hashes, h_c), 0, max(H - 1, 0))
     found = (idx_hashes[loc] == h_c) & pos_valid if H else jnp.zeros_like(pos_valid)
     lo_c = jnp.where(found, idx_offsets[loc].astype(jnp.int32), 0)
     cnt_full = jnp.where(
@@ -140,13 +183,16 @@ def map_reads_device(
 
     overflow = (n_cand > max_pos) | jnp.any(cnt_full > A, axis=1)
 
-    # expand to (R, max_pos, A) anchors
+    # expand to (R, max_pos, A) anchors; (unitig, strand) pack into one
+    # int32 so the expansion costs 2 gathers per anchor instead of 3
+    packed = entry_unitig * 2 + entry_strand.astype(jnp.int32)
     a_ids = jnp.arange(A, dtype=jnp.int32)[None, None, :]
     a_valid = a_ids < cnt_c[:, :, None]
     src = jnp.where(a_valid, lo_c[:, :, None] + a_ids, 0)
-    au = entry_unitig[src]
+    pk = packed[src]
+    au = pk // 2
     aq = entry_pos[src]
-    arel = entry_strand[src] == strand_c[:, :, None]
+    arel = (pk % 2) == strand_c[:, :, None].astype(jnp.int32)
     at = jnp.broadcast_to(t_c[:, :, None], src.shape)
 
     key = jnp.where(a_valid, au * 2 + arel.astype(jnp.int32), _I32_MAX)

@@ -131,3 +131,37 @@ def test_device_mapper_bitmap_prefilter_identical():
     _, pre = _device_map(index, reads, cfg, use_bitmap=True, **caps)
     for key in plain:
         np.testing.assert_array_equal(plain[key], pre[key], err_msg=key)
+
+
+def test_device_mapper_rank_join_identical():
+    from muchsalsa_tpu.ops.mapping_jax import build_join_tables
+
+    rng = np.random.default_rng(44)
+    sim = simulate(rng, genome_length=20_000, coverage=5.0, read_length=4_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    reads = SequenceStore()
+    for name, seq in sim.read_records():
+        reads.add(name, add_noise(rng, seq, 0.06))
+
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+    bitmap, rank, rounds = build_join_tables(index.hashes)
+
+    seqs = [seq for _, seq in reads.items()]
+    L = max(len(s) for s in seqs)
+    codes, lens = _pack_reads(seqs, L)
+    args = (codes, lens,
+            jnp.asarray(index.hashes), jnp.asarray(index.offsets.astype(np.int32)),
+            jnp.asarray(index.entry_unitig), jnp.asarray(index.entry_pos),
+            jnp.asarray(index.entry_strand))
+    kw = dict(k=cfg.k, w=cfg.w, bandwidth=cfg.bandwidth,
+              min_anchor_count=cfg.min_anchor_count,
+              min_chain_score=cfg.min_chain_score,
+              max_pos=2048, max_per_hit=2)
+    plain = map_reads_device(*args, bitmap, **kw)
+    fast = map_reads_device(*args, bitmap, rank, join_rounds=rounds, **kw)
+    for key in plain:
+        np.testing.assert_array_equal(
+            np.asarray(plain[key]), np.asarray(fast[key]), err_msg=key)
