@@ -195,12 +195,17 @@ def _bench_seeding(latency: float) -> float:
 
 
 def _bench_chain_dp(latency: float) -> float:
-    """Anchor-pairs/s for the chaining DP on the active backend."""
+    """Anchor-pairs/s for the chaining DP on the active backend (the
+    Pallas fused scan on TPU, XLA scan elsewhere; identical results)."""
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _example_batch
-    from muchsalsa_tpu.ops.chaining_jax import chain_dp_batch
+    from muchsalsa_tpu.ops.chaining_jax import chain_dp_batch, chain_dp_batch_pallas
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fn = chain_dp_batch_pallas if on_tpu else chain_dp_batch
+    iters = 200 if on_tpu else ITERS  # fused scan needs more reps vs latency
 
     dtype = np.float64 if jax.config.read("jax_enable_x64") else np.float32
     batch = _example_batch(CHAIN_B, CHAIN_K, dtype)
@@ -209,12 +214,12 @@ def _bench_chain_dp(latency: float) -> float:
         def body(i, acc):
             b2 = dict(batch)
             b2["score"] = batch["score"] + acc.astype(batch["score"].dtype)
-            scores, bps = chain_dp_batch(b2, WIGGLE)
+            scores, bps = fn(b2, WIGGLE)
             return acc + jnp.max(scores).astype(jnp.float32) * 1e-30
 
-        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
-    dt = _timed_loop(loop, (batch,), latency)
+    dt = _timed_loop(loop, (batch,), latency, iters=iters)
     return CHAIN_B * CHAIN_K * CHAIN_K / dt
 
 

@@ -77,6 +77,54 @@ def _vertex_abort(ns, ne, ori):
     return intersect & (((ori < 0) & (uco >= 0)) | ((ori > 0) & (uco <= 0)))
 
 
+def _single_compat(b):
+    """(K, K) compatibility matrix + (K,) initial scores for one
+    problem (mpp.cpp:38-142 semantics)."""
+    wiggle_room = b.pop("_wiggle")
+    v_lo, v_hi = _corrected(
+        b["v_ns"], b["v_ne"], b["v_is"], b["v_ie"], b["v_rr"], b["v_dir"],
+        b["ov_s"], b["ov_e"],
+    )
+    w_lo, w_hi = _corrected(
+        b["w_ns"], b["w_ne"], b["w_is"], b["w_ie"], b["w_rr"], b["w_dir"],
+        b["ov_s"], b["ov_e"],
+    )
+
+    o1, d1 = _pair_orientation(v_lo, v_hi)
+    o2, d2 = _pair_orientation(w_lo, w_hi)
+
+    abort = _vertex_abort(b["v_ns"], b["v_ne"], o1) | _vertex_abort(
+        b["w_ns"], b["w_ne"], o2
+    )
+
+    o2 = jnp.where(b["cls_dir"], o2, -o2)
+
+    same_nz = (o1 == o2) & (o1 != 0)
+    mx = jnp.maximum(d1, d2)
+    diff = mx - jnp.minimum(d1, d2)
+    rel = jnp.where(mx != 0, diff * 100.0 / mx, jnp.inf)
+    rule1 = same_nz & ((diff <= wiggle_room) | (rel <= 15.0))
+    rule2 = (
+        ~same_nz
+        & (((o1 < 0) & (o2 < 0)) | ((o1 > 0) & (o2 > 0)))
+        & (d1 + d2 <= wiggle_room)
+    )
+
+    valid_pair = b["valid"][:, None] & b["valid"][None, :]
+    compat = ~abort & (rule1 | rule2) & valid_pair
+    init = jnp.where(b["valid"], b["score"], _NEG)
+    return compat, init
+
+
+@partial(jax.jit, static_argnames=("wiggle_room",))
+def compat_init_batch(batch: dict, wiggle_room: int):
+    """(B, K, K) compatibility matrices + (B, K) initial scores."""
+    b = dict(batch)
+    b["_wiggle"] = jnp.full(batch["score"].shape[:1], wiggle_room,
+                            batch["score"].dtype)
+    return jax.vmap(_single_compat)(b)
+
+
 @partial(jax.jit, static_argnames=("wiggle_room",))
 def chain_dp_batch(batch: dict, wiggle_room: int):
     """Compute per-problem DP scores + backpointers.
@@ -87,40 +135,10 @@ def chain_dp_batch(batch: dict, wiggle_room: int):
     """
 
     def single(b):
-        v_lo, v_hi = _corrected(
-            b["v_ns"], b["v_ne"], b["v_is"], b["v_ie"], b["v_rr"], b["v_dir"],
-            b["ov_s"], b["ov_e"],
-        )
-        w_lo, w_hi = _corrected(
-            b["w_ns"], b["w_ne"], b["w_is"], b["w_ie"], b["w_rr"], b["w_dir"],
-            b["ov_s"], b["ov_e"],
-        )
-
-        o1, d1 = _pair_orientation(v_lo, v_hi)
-        o2, d2 = _pair_orientation(w_lo, w_hi)
-
-        abort = _vertex_abort(b["v_ns"], b["v_ne"], o1) | _vertex_abort(
-            b["w_ns"], b["w_ne"], o2
-        )
-
-        o2 = jnp.where(b["cls_dir"], o2, -o2)
-
-        same_nz = (o1 == o2) & (o1 != 0)
-        mx = jnp.maximum(d1, d2)
-        diff = mx - jnp.minimum(d1, d2)
-        rel = jnp.where(mx != 0, diff * 100.0 / mx, jnp.inf)
-        rule1 = same_nz & ((diff <= wiggle_room) | (rel <= 15.0))
-        rule2 = (
-            ~same_nz
-            & (((o1 < 0) & (o2 < 0)) | ((o1 > 0) & (o2 > 0)))
-            & (d1 + d2 <= wiggle_room)
-        )
-
-        valid_pair = b["valid"][:, None] & b["valid"][None, :]
-        compat = ~abort & (rule1 | rule2) & valid_pair
-
-        K = b["score"].shape[0]
-        init = jnp.where(b["valid"], b["score"], _NEG)
+        b = dict(b)
+        b["_wiggle"] = jnp.asarray(wiggle_room, b["score"].dtype)
+        compat, init = _single_compat(b)
+        K = init.shape[0]
         idx = jnp.arange(K)
 
         def step(scores, l):
@@ -134,6 +152,17 @@ def chain_dp_batch(batch: dict, wiggle_room: int):
         return final, bps.astype(jnp.int32)
 
     return jax.vmap(single)(batch)
+
+
+@partial(jax.jit, static_argnames=("wiggle_room", "interpret"))
+def chain_dp_batch_pallas(batch: dict, wiggle_room: int,
+                          interpret: bool = False):
+    """chain_dp_batch with the forward scan fused into a Pallas kernel
+    (identical results; see ops/chaining_pallas.py)."""
+    from muchsalsa_tpu.ops.chaining_pallas import chain_scan_pallas
+
+    compat, init = compat_init_batch(batch, wiggle_room)
+    return chain_scan_pallas(compat, init, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -238,7 +267,10 @@ def chaining_phase_device(
 
         batch = {k2: jnp.asarray(v2) for k2, v2 in arrs.items()}
         batch["cls_dir"] = jnp.asarray(prob_dir[probs])
-        scores_dev, bps_dev = chain_dp_batch(batch, int(wiggle_room))
+        if jax.devices()[0].platform == "tpu":
+            scores_dev, bps_dev = chain_dp_batch_pallas(batch, int(wiggle_room))
+        else:
+            scores_dev, bps_dev = chain_dp_batch(batch, int(wiggle_room))
         scores_np = np.asarray(scores_dev)
         bps_np = np.asarray(bps_dev)
 

@@ -100,3 +100,23 @@ def test_oversized_problems_fall_back():
     # tiny max bucket forces the host fallback path for big edges
     chaining_phase_device(g_dev, store, em, 300, chain_buckets=(4, 8), min_device_batch=1)
     assert snapshot(g_host) == snapshot(g_dev)
+
+
+def test_pallas_scan_matches_xla_scan():
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _example_batch
+    from muchsalsa_tpu.ops.chaining_jax import chain_dp_batch, chain_dp_batch_pallas
+
+    dtype = np.float64 if jax.config.read("jax_enable_x64") else np.float32
+    for B, K in ((5, 8), (130, 16), (64, 64)):
+        batch = _example_batch(B, K, dtype, seed=B + K)
+        # punch some holes in the valid mask
+        v = np.asarray(batch["valid"]).copy()
+        v[::3, -2:] = False
+        batch["valid"] = jax.numpy.asarray(v)
+        s0, b0 = chain_dp_batch(batch, 300)
+        s1, b1 = chain_dp_batch_pallas(batch, 300, interpret=True)
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
