@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
     mp.add_argument("query_fa", help="unitigs/anchors (PAF query)")
     mp.add_argument("target_fa", help="long reads (PAF target)")
     mp.add_argument("out_paf")
+    mp.add_argument("--device", action="store_true",
+                    help="map on the accelerator (host fallback per "
+                    "overflowing read; identical output)")
 
     cfg_dump = sub.add_parser("config", help="print the default config JSON")
 
@@ -143,6 +146,7 @@ def main(argv: list[str] | None = None) -> int:
             index, reads, config.mapper,
             unitig_names=lambda u: unitigs.registry.name(u),
             read_names=lambda r: reads.registry.name(r),
+            device=bool(getattr(args, "device", False)),
         )
         write_paf(lines, args.out_paf)
         print(f"{len(lines)} mappings written to {args.out_paf}")

@@ -339,6 +339,7 @@ def map_all(
     read_names=None,
     unitigs: SequenceStore | None = None,
     processes: int | None = None,
+    device: bool = False,
 ) -> list[str]:
     """Map every read; emit PAF lines (query = unitig, target = read).
 
@@ -346,6 +347,9 @@ def map_all(
     alignment-refined via the banded-DP kernel.  ``processes`` > 1
     fans reads out over a fork-shared worker pool (the index is shared
     copy-on-write — the host analog of the reference's thread pool).
+    ``device=True`` maps on the accelerator (ops/mapping_jax.py) with
+    host fallback for reads exceeding the static anchor budgets —
+    output is identical either way.
     """
     lines: list[str] = []
     uname = unitig_names or (lambda uid: f"u{uid}")
@@ -353,7 +357,10 @@ def map_all(
 
     if processes is None:
         processes = 1
-    per_read = map_batch(index, reads, cfg, threads=0 if processes <= 1 else processes)
+    if device:
+        per_read = map_all_with_device(index, reads, cfg)
+    else:
+        per_read = map_batch(index, reads, cfg, threads=0 if processes <= 1 else processes)
     if per_read is None and processes > 1:
         import multiprocessing as mp
 
@@ -379,6 +386,88 @@ def map_all(
                 f"{m.t_start}\t{m.t_end}\t{m.matches}\t{block}\t60"
             )
     return lines
+
+
+def map_all_with_device(
+    index: MinimizerIndex,
+    reads: SequenceStore,
+    cfg: MapperConfig,
+    batch_reads: int = 256,
+    max_pos: int = 4096,
+    max_per_hit: int = 16,
+    max_hits: int = 64,
+) -> list[tuple[int, list[Mapping]]]:
+    """Map every read on the device (ops/mapping_jax.py), falling back
+    to the host path for reads whose anchors exceed the static device
+    budgets (``overflow``).  Results are identical to per-read
+    :func:`map_read`.  Reads are length-bucketed (pad to the next power
+    of two) to bound recompiles."""
+    import jax
+    import jax.numpy as jnp
+
+    from muchsalsa_tpu.ops.mapping_jax import build_join_tables, map_reads_device
+
+    items = list(reads.items())
+    if not items:
+        return []
+    bitmap, rank, rounds = build_join_tables(index.hashes)
+    idx_dev = (
+        jnp.asarray(index.hashes),
+        jnp.asarray(index.offsets.astype(np.int32)),
+        jnp.asarray(index.entry_unitig),
+        jnp.asarray(index.entry_pos),
+        jnp.asarray(index.entry_strand),
+    )
+
+    def bucket_len(n: int) -> int:
+        L = 1024
+        while L < n:
+            L *= 2
+        return L
+
+    buckets: dict[int, list[tuple[int, bytes]]] = {}
+    for rid, seq in items:
+        buckets.setdefault(bucket_len(len(seq)), []).append((rid, seq))
+
+    results: dict[int, list[Mapping]] = {}
+    for L, members in sorted(buckets.items()):
+        for s in range(0, len(members), batch_reads):
+            chunk = members[s : s + batch_reads]
+            R = len(chunk)
+            codes = np.full((R, L), 4, dtype=np.uint8)
+            lens = np.zeros(R, dtype=np.int32)
+            for i, (_rid, seq) in enumerate(chunk):
+                c = encode_2bit(seq)
+                codes[i, : len(c)] = c
+                lens[i] = len(c)
+            out = map_reads_device(
+                jnp.asarray(codes), jnp.asarray(lens), *idx_dev, bitmap, rank,
+                k=cfg.k, w=cfg.w, bandwidth=cfg.bandwidth,
+                min_anchor_count=cfg.min_anchor_count,
+                min_chain_score=cfg.min_chain_score,
+                max_pos=max_pos, max_per_hit=max_per_hit, max_hits=max_hits,
+                join_rounds=rounds,
+            )
+            out = {k2: np.asarray(v2) for k2, v2 in out.items()}
+            for i, (rid, seq) in enumerate(chunk):
+                if out["overflow"][i]:
+                    results[rid] = map_read(index, seq, cfg)
+                    continue
+                n = int(out["n_hits"][i])
+                results[rid] = [
+                    Mapping(
+                        unitig=int(out["unitig"][i, j]),
+                        strand=bool(out["strand"][i, j]),
+                        q_start=int(out["qs"][i, j]),
+                        q_end=int(out["qe"][i, j]),
+                        t_start=int(out["ts"][i, j]),
+                        t_end=int(out["te"][i, j]),
+                        matches=int(out["matches"][i, j]),
+                        n_anchors=int(out["n_anchors"][i, j]),
+                    )
+                    for j in range(n)
+                ]
+    return [(rid, results[rid]) for rid, _ in items]
 
 
 def write_paf(lines: list[str], path: str | Path) -> None:

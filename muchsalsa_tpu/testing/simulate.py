@@ -121,13 +121,29 @@ def illumina_pairs(
 
 
 def _ground_truth_paf(sim: SimulatedAssembly, min_overlap: int) -> list[str]:
+    """Truth overlaps, vectorised: per unitig, candidate reads come from
+    a searchsorted window over start-sorted reads (the naive double loop
+    is O(U*R) — ~2e10 iterations at 140 Mb)."""
     lines = []
+    if not sim.reads:
+        return lines
+    rs_a = np.array([r[1] for r in sim.reads])
+    re_a = np.array([r[2] for r in sim.reads])
+    order = np.argsort(rs_a, kind="stable")
+    rs_s, re_s = rs_a[order], re_a[order]
+    max_rl = int(np.max(re_a - rs_a))
+
     for uname, us, ue in sim.unitigs:
-        for rname, rs, re_, fwd in sim.reads:
+        w0 = np.searchsorted(rs_s, us + min_overlap - max_rl, side="left")
+        w1 = np.searchsorted(rs_s, ue - min_overlap, side="right")
+        cand = order[w0:w1]
+        lo_a = np.maximum(us, rs_a[cand])
+        hi_a = np.minimum(ue, re_a[cand])
+        hits = np.sort(cand[hi_a - lo_a >= min_overlap])  # original read order
+        for ri in hits:
+            rname, rs, re_, fwd = sim.reads[ri]
             lo = max(us, rs)
             hi = min(ue, re_)
-            if hi - lo < min_overlap:
-                continue
             ulen = ue - us
             rlen = re_ - rs
             q_start = lo - us

@@ -165,3 +165,23 @@ def test_device_mapper_rank_join_identical():
     for key in plain:
         np.testing.assert_array_equal(
             np.asarray(plain[key]), np.asarray(fast[key]), err_msg=key)
+
+
+def test_map_all_device_matches_host():
+    from muchsalsa_tpu.pipeline.mapper import map_all
+
+    rng = np.random.default_rng(45)
+    sim = simulate(rng, genome_length=25_000, coverage=5.0, read_length=4_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    reads = SequenceStore()
+    for name, seq in sim.read_records():
+        reads.add(name, add_noise(rng, seq, 0.06))
+    reads.add("tiny", b"ACGTAC")  # shorter than k
+
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+    host_lines = map_all(index, reads, cfg)
+    dev_lines = map_all(index, reads, cfg, device=True)
+    assert dev_lines == host_lines
