@@ -185,3 +185,50 @@ def test_map_all_device_matches_host():
     host_lines = map_all(index, reads, cfg)
     dev_lines = map_all(index, reads, cfg, device=True)
     assert dev_lines == host_lines
+
+
+def test_device_mapper_random_adversarial():
+    """Random reads + planted repeats: device output equals host map_read
+    for every non-overflow read, overflow reads are flagged."""
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    rng = np.random.default_rng(46)
+    store = SequenceStore()
+    rep = random_genome(rng, 250)
+    for i in range(30):
+        g = random_genome(rng, int(rng.integers(300, 900)))
+        if i % 3 == 0:
+            g = g[:100] + rep + g[100:]  # planted repeat
+        store.add(f"u{i}", g)
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+
+    reads = SequenceStore()
+    for i in range(20):
+        src = int(rng.integers(0, 30))
+        seq = store.sequence(src)
+        s = int(rng.integers(0, max(1, len(seq) - 200)))
+        reads.add(f"r{i}", seq[s : s + int(rng.integers(150, 400))])
+    reads.add("rep_read", rep + rep)  # hits the repeat everywhere
+
+    rids, dev = _device_map(index, reads, cfg, use_bitmap=True,
+                            max_pos=512, max_per_hit=4)
+    for i, rid in enumerate(rids):
+        if dev["overflow"][i]:
+            continue
+        host = map_read(index, reads.sequence(rid), cfg, use_native=False)
+        assert int(dev["n_hits"][i]) == len(host), rid
+        for j, m in enumerate(host):
+            assert dev["matches"][i, j] == m.matches
+
+
+def test_map_all_with_device_empty():
+    from muchsalsa_tpu.pipeline.mapper import map_all_with_device
+
+    store = SequenceStore()
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    store.add("u0", random_genome(np.random.default_rng(1), 800))
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+    assert map_all_with_device(index, SequenceStore(), cfg) == []
