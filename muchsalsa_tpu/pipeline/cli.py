@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
     full.add_argument("--out", required=True)
     full.add_argument("--kmer-filter-k", type=int, default=None)
     full.add_argument("--unitig-k", type=int, default=31)
+    full.add_argument("--device-map", action="store_true",
+                      help="run the mapping stages on the accelerator "
+                      "(identical output; host fallback per overflow read)")
 
     mp = sub.add_parser("map", help="native minimizer mapper (PAF out)")
     mp.add_argument("query_fa", help="unitigs/anchors (PAF query)")
@@ -124,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
             config,
             kmer_filter_k=args.kmer_filter_k,
             unitig_k=args.unitig_k,
+            device_map=bool(getattr(args, "device_map", False)),
         )
         print(f"Assembly written to {final}")
         return 0

@@ -46,6 +46,7 @@ def run_full_pipeline(
     config: Config = DEFAULT_CONFIG,
     kmer_filter_k: int | None = None,
     unitig_k: int = 31,
+    device_map: bool = False,
 ) -> Path:
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
@@ -127,6 +128,7 @@ def run_full_pipeline(
             unitig_names=lambda u: unitigs.registry.name(u),
             read_names=lambda r: reads.registry.name(r),
             unitigs=unitigs,
+            device=device_map,
         )
         # the core parser drops the final PAF line by reference parity:
         # terminate with a sentinel so no real mapping is lost
