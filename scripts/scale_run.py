@@ -23,6 +23,7 @@ def main():
     coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 12.0
     out = Path(sys.argv[3]) if len(sys.argv) > 3 else Path("/tmp/scale_run")
     illu_cov = float(sys.argv[4]) if len(sys.argv) > 4 else 30.0
+    device_map = "--device-map" in sys.argv
     out.mkdir(parents=True, exist_ok=True)
 
     rng = np.random.default_rng(1234)
@@ -59,7 +60,8 @@ def main():
 
     t0 = time.perf_counter()
     final = run_full_pipeline(
-        str(illu1), str(illu2), str(nano), str(out / "full_out"), Config()
+        str(illu1), str(illu2), str(nano), str(out / "full_out"), Config(),
+        device_map=device_map,
     )
     total = time.perf_counter() - t0
     print(f"[scale_run] full pipeline: {total:.1f}s")
