@@ -433,7 +433,9 @@ def map_all_with_device(
     for L, members in sorted(buckets.items()):
         for s in range(0, len(members), batch_reads):
             chunk = members[s : s + batch_reads]
-            R = len(chunk)
+            # pad the batch axis so every chunk compiles to one (R, L)
+            # shape per length bucket (padding reads have len 0 -> no hits)
+            R = batch_reads
             codes = np.full((R, L), 4, dtype=np.uint8)
             lens = np.zeros(R, dtype=np.int32)
             for i, (_rid, seq) in enumerate(chunk):
