@@ -881,10 +881,35 @@ int64_t ms_build_unitigs(const uint64_t *kmers, int64_t n, int32_t k,
   std::vector<uint8_t> visited(n, 0);
   const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
 
+  // open-addressing membership table: ~1.5 probes per lookup instead of
+  // the log2(n) cache-missing rounds of a binary search (the walk does
+  // ~8 lookups per emitted base — dominant at 100M+ k-mer scale)
+  size_t tbits = 1;
+  while ((1ULL << tbits) < static_cast<size_t>(2 * n + 2)) ++tbits;
+  const size_t tmask = (1ULL << tbits) - 1;
+  std::vector<uint64_t> tkey(tmask + 1, ~0ULL);
+  std::vector<int64_t> tidx(tmask + 1);
+  auto hash64 = [](uint64_t x) {
+    x ^= x >> 33;
+    x *= 0xFF51AFD7ED558CCDULL;
+    x ^= x >> 33;
+    x *= 0xC4CEB9FE1A85EC53ULL;
+    x ^= x >> 33;
+    return x;
+  };
+  for (int64_t i = 0; i < n; ++i) {
+    size_t s = hash64(kmers[i]) & tmask;
+    while (tkey[s] != ~0ULL) s = (s + 1) & tmask;
+    tkey[s] = kmers[i];
+    tidx[s] = i;
+  }
   auto find = [&](uint64_t canon) -> int64_t {
-    const uint64_t *lo = std::lower_bound(kmers, kmers + n, canon);
-    if (lo == kmers + n || *lo != canon) return -1;
-    return lo - kmers;
+    size_t s = hash64(canon) & tmask;
+    while (tkey[s] != ~0ULL) {
+      if (tkey[s] == canon) return tidx[s];
+      s = (s + 1) & tmask;
+    }
+    return -1;
   };
   auto canon_of = [&](uint64_t v) {
     uint64_t r = revcomp_val(v, k);
