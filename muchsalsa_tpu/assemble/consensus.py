@@ -41,6 +41,20 @@ from muchsalsa_tpu.matching.store import EdgeMatches, MatchStore
 from muchsalsa_tpu.utils.seq import reverse_complement, str_slice, wrap_sequence
 
 
+# Counters for the two deliberate divergences from ap.cpp (which would
+# crash / spin there).  The driver copies these into StageTimer counters
+# so parity investigations can see when they fired.
+FALLBACK_COUNTS: dict[str, int] = {
+    "consensus_cyclic_adg_fallback": 0,
+    "consensus_stranded_suborder_drop": 0,
+}
+
+
+def reset_fallback_counts() -> None:
+    for key in FALLBACK_COUNTS:
+        FALLBACK_COUNTS[key] = 0
+
+
 # ---------------------------------------------------------------------------
 # context
 
@@ -818,6 +832,7 @@ def assemble_path(
     # -- stage 5: topological placement sweep (ap.cpp:865-895) --------------
     order = adg.sort_topologically()
     if not order:  # fully cyclic adg — reference would crash; fall back
+        FALLBACK_COUNTS["consensus_cyclic_adg_fallback"] += 1
         order = list(adg.vertices)
     v2order = {vid: i for i, vid in enumerate(order)}
 
@@ -931,6 +946,7 @@ def assemble_path(
             # unplaced paths) would spin forever — the reference has the
             # same hazard (ap.cpp:927-1010 re-scans unconditionally);
             # drop them rather than hang
+            FALLBACK_COUNTS["consensus_stranded_suborder_drop"] += 1
             break
 
     # -- stage 7: longest pre/post flanks (ap.cpp:1012-1032) ----------------

@@ -25,6 +25,7 @@ from pathlib import Path
 
 import numpy as np
 
+from muchsalsa_tpu.assemble import consensus
 from muchsalsa_tpu.assemble import contraction as ctr
 from muchsalsa_tpu.assemble import spanning
 from muchsalsa_tpu.assemble.consensus import ConsensusContext, assemble_path
@@ -211,6 +212,7 @@ def assemble(
     timer.count("graph_order_reduced", graph.order)
     timer.count("graph_size_reduced", graph.size)
 
+    consensus.reset_fallback_counts()
     with timer.stage("assembly"):
         writer = OutputWriter(
             out / "temp_1.query.fa", out / "temp_1.align.paf", out / "temp_1.target.fa"
@@ -250,6 +252,8 @@ def assemble(
         writer.close()
     timer.count("components", len(components))
     timer.count("paths", n_paths)
+    for name, value in consensus.FALLBACK_COUNTS.items():
+        timer.count(name, value)
 
     (out / "assembly_stats.json").write_text(timer.dump())
     return {"components": len(components), "paths": n_paths, "timer": timer}
