@@ -34,7 +34,7 @@ from muchsalsa_tpu.assemble.orientation import get_directed_graph, pick_start_ve
 from muchsalsa_tpu.config import Config, DEFAULT_CONFIG
 from muchsalsa_tpu.graph.graph import Graph, VertexInfo
 from muchsalsa_tpu.io.fasta import SequenceStore
-from muchsalsa_tpu.io.output import OutputWriter
+from muchsalsa_tpu.io.output import BufferedOutputWriter, OutputWriter
 from muchsalsa_tpu.io.paf import read_paf
 from muchsalsa_tpu.io.registry import Registry
 from muchsalsa_tpu.matching.edges import build_edges
@@ -111,6 +111,61 @@ def chaining_phase(
         edge.orders.extend(orders)
 
 
+# sentinel substituted for the global assembly index inside worker
+# processes; NUL never occurs in sequence data or record names
+_ASM_PLACEHOLDER = "\x00IDX\x00"
+_ASM_STATE: dict | None = None
+
+
+def _assembly_worker_count(workers: int | None, n_paths: int) -> int:
+    if n_paths <= 1:
+        return 1
+    if workers is None:
+        import os as _os
+
+        workers = _os.cpu_count() or 1
+    return max(1, min(workers, n_paths))
+
+
+def _assemble_path_buffered(task_idx: int):
+    """Pool worker: run one path's consensus into in-memory buffers.
+
+    State arrives via the fork-inherited ``_ASM_STATE`` global (the
+    match tables and digraphs are large; copy-on-write beats pickling).
+    """
+    st = _ASM_STATE
+    di, path = st["tasks"][task_idx]
+    consensus.reset_fallback_counts()
+    bw = BufferedOutputWriter()
+    assemble_path(
+        st["ctx"], {}, st["contain"], path, st["digs"][di], _ASM_PLACEHOLDER, bw
+    )
+    return (*bw.texts(), dict(consensus.FALLBACK_COUNTS))
+
+
+def _asm_pool_init() -> None:
+    # forked workers inherit the parent's initialized jax backend; their
+    # interpreter-shutdown atexit would run jax's teardown against the
+    # shared device connection. Workers are pure Python — drop it all.
+    import atexit
+
+    atexit._clear()
+
+
+def _run_parallel_assembly(ctx, contain_elements, digs, tasks, n_workers):
+    import multiprocessing
+
+    global _ASM_STATE
+    _ASM_STATE = {"ctx": ctx, "contain": contain_elements, "digs": digs, "tasks": tasks}
+    try:
+        mp_ctx = multiprocessing.get_context("fork")
+        with mp_ctx.Pool(n_workers, initializer=_asm_pool_init) as pool:
+            # chunksize=1: paths vary wildly in size; order is preserved
+            return pool.map(_assemble_path_buffered, range(len(tasks)), chunksize=1)
+    finally:
+        _ASM_STATE = None
+
+
 def assemble(
     paf_path: str | Path,
     unitigs_path: str | Path,
@@ -118,6 +173,7 @@ def assemble(
     output_dir: str | Path,
     config: Config = DEFAULT_CONFIG,
     timer: StageTimer | None = None,
+    workers: int | None = None,
 ) -> dict:
     """Run the full core assembly; returns summary counters."""
     timer = timer or StageTimer()
@@ -226,9 +282,10 @@ def assemble(
             config.consensus.sequence_line_length,
         )
         components = spanning.connected_components(graph)
-        asm_idx = -1
-        n_paths = 0
         lcfg = config.linearize
+        # per-component orientation + linearization (deterministic order)
+        digs: list = []
+        tasks: list[tuple[int, list[int]]] = []
         for component in components:
             sub = graph.subgraph(component)
             start = pick_start_vertex(sub)
@@ -242,14 +299,35 @@ def assemble(
                 lcfg.path_min_length_touching,
                 lcfg.join_max_distance,
             )
-            for path in paths:
-                asm_idx += 1
-                n_paths += 1
+            di = len(digs)
+            digs.append(dig)
+            tasks.extend((di, path) for path in paths)
+        n_paths = len(tasks)
+
+        # per-path consensus fan-out, mirroring the reference's
+        # job-per-component + subjob-per-path structure
+        # (src/main.cpp:303-310, 645-657); output stays byte-identical
+        # because buffers are written back in path order
+        n_workers = _assembly_worker_count(workers, n_paths)
+        if n_workers > 1:
+            results = _run_parallel_assembly(
+                ctx, contain_elements, digs, tasks, n_workers
+            )
+            for asm_idx, (q, p, t, counts) in enumerate(results):
+                tok = str(asm_idx)
+                writer.write_query(q.replace(_ASM_PLACEHOLDER, tok))
+                writer.write_paf(p.replace(_ASM_PLACEHOLDER, tok))
+                writer.write_target(t.replace(_ASM_PLACEHOLDER, tok))
+                for name, value in counts.items():
+                    consensus.FALLBACK_COUNTS[name] += value
+        else:
+            for asm_idx, (di, path) in enumerate(tasks):
                 id2overlap: dict = {}
                 assemble_path(
-                    ctx, id2overlap, contain_elements, path, dig, asm_idx, writer
+                    ctx, id2overlap, contain_elements, path, digs[di], asm_idx, writer
                 )
         writer.close()
+    timer.count("assembly_workers", n_workers)
     timer.count("components", len(components))
     timer.count("paths", n_paths)
     for name, value in consensus.FALLBACK_COUNTS.items():

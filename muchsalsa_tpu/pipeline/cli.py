@@ -52,7 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     core.add_argument("unitigs")
     core.add_argument("nanopore")
     core.add_argument("outdir")
-    core.add_argument("threads", nargs="?", default=None, help="ignored (device mesh)")
+    core.add_argument(
+        "threads", nargs="?", default=None,
+        help="host worker processes for the assembly fan-out "
+        "(device parallelism is the mesh); default: all cores",
+    )
     core.add_argument("wiggle_room", nargs="?", type=int, default=None)
 
     full = sub.add_parser("full", help="full pipeline from raw reads")
@@ -101,7 +105,11 @@ def main(argv: list[str] | None = None) -> int:
             config = dataclasses.replace(config, graph=graph)
         from muchsalsa_tpu.assemble.driver import assemble
 
-        result = assemble(args.paf, args.unitigs, args.nanopore, args.outdir, config)
+        workers = int(args.threads) if args.threads is not None else None
+        result = assemble(
+            args.paf, args.unitigs, args.nanopore, args.outdir, config,
+            workers=workers,
+        )
         print("Finished assembly")
         print(f"components={result['components']} paths={result['paths']}")
         return 0

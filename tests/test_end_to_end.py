@@ -89,3 +89,22 @@ def test_assemble_deterministic(tmp_path):
 
     for fname in ("temp_1.target.fa", "temp_1.query.fa", "temp_1.align.paf"):
         assert (out1 / fname).read_bytes() == (out2 / fname).read_bytes(), fname
+
+
+def test_assemble_parallel_matches_sequential(tmp_path):
+    """The per-path fan-out (reference main.cpp:303-310,645-657) must be
+    byte-identical to the sequential loop, including record numbering."""
+    rng = np.random.default_rng(13)
+    # two strands + gaps tend to yield several components/paths
+    sim = simulate(rng, genome_length=40_000, coverage=9.0, both_strands=True)
+    paths = write_simulation(sim, tmp_path / "data")
+
+    seq_out = tmp_path / "seq"
+    par_out = tmp_path / "par"
+    r1 = assemble(paths["paf"], paths["unitigs"], paths["reads"], seq_out, workers=1)
+    r2 = assemble(paths["paf"], paths["unitigs"], paths["reads"], par_out, workers=4)
+    assert r1["paths"] == r2["paths"]
+    if r1["paths"] > 1:
+        assert r2["timer"].counters["assembly_workers"] > 1
+    for fname in ("temp_1.target.fa", "temp_1.query.fa", "temp_1.align.paf"):
+        assert (seq_out / fname).read_bytes() == (par_out / fname).read_bytes(), fname
