@@ -196,11 +196,13 @@ def _bench_seeding(latency: float) -> float:
 
 def _bench_full_mapping(latency: float) -> float:
     """Full device mapping (sketch -> join -> chain -> Mapping tables)
-    reads/s on 10 kb reads vs a 1M-entry index."""
+    reads/s on 10 kb reads vs a 1M-entry index, via the packed-row v2
+    join (``map_reads_device_v2`` — the production device path)."""
     import jax
     import jax.numpy as jnp
 
-    from muchsalsa_tpu.ops.mapping_jax import build_join_tables, map_reads_device
+    from muchsalsa_tpu.ops.mapping_jax import (
+        build_device_tables, map_reads_device_v2)
 
     rng = np.random.default_rng(0)
     R, L = 256, 10_240
@@ -209,27 +211,26 @@ def _bench_full_mapping(latency: float) -> float:
     E = 1 << 20
     hashes = np.unique(np.sort(rng.integers(0, 1 << 32, E, dtype=np.uint32)))
     H = len(hashes)
-    idx = (
-        jnp.asarray(hashes),
-        jnp.asarray(np.arange(H + 1, dtype=np.int32)),
-        jnp.asarray(rng.integers(0, 5000, H).astype(np.int32)),
-        jnp.asarray(rng.integers(0, 1000, H).astype(np.int32)),
-        jnp.asarray(rng.random(H) < 0.5),
+    tables, hash_takes = build_device_tables(
+        hashes, np.arange(H + 1, dtype=np.int64),
+        rng.integers(0, 5000, H).astype(np.int32),
+        rng.integers(0, 1000, H).astype(np.int32),
+        rng.random(H) < 0.5,
     )
-    bitmap, rank, rounds = build_join_tables(hashes)
 
-    def loop(codes, lens, bitmap, rank, *idx):
+    def loop(codes, lens, rp, jrows, erows):
         def body(i, acc):
             bump = jnp.where(acc > 1e30, 1, 0).astype(lens.dtype)
-            out = map_reads_device(
-                codes, lens + bump, *idx, bitmap, rank,
-                join_rounds=rounds, max_pos=1024, max_per_hit=4,
+            out = map_reads_device_v2(
+                codes, lens + bump, rp, jrows, erows,
+                hash_takes=hash_takes, max_pos=1024, max_per_hit=4,
             )
             return acc + jnp.sum(out["n_hits"]).astype(jnp.float32) * 1e-20
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
 
-    dt = _timed_loop(loop, (codes, lens, bitmap, rank) + idx, latency)
+    dt = _timed_loop(loop, (codes, lens, tables.rp, tables.jrows, tables.erows),
+                     latency)
     return R / dt
 
 

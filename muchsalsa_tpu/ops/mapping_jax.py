@@ -27,6 +27,7 @@ replicated.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,118 @@ def _seg_reduce_to_starts(vals, new_seg, combine, axis=1):
 
 
 RANK_LOG2 = 20  # rank-table buckets over the 32-bit hash space
+
+# ---------------------------------------------------------------------------
+# v2 join: rank-probe + packed row tables (see build_device_tables)
+
+RANK2_LOG2 = 22          # probe buckets; FP rate = H / 2^22 per bucket
+_PACK_BITS = 27          # low bits of a packed (offset | count<<27) word
+_PACK_MASK = (1 << _PACK_BITS) - 1
+_CNT_CAP = 31            # count saturates at 31 (only `> max_per_hit` matters)
+
+
+class DeviceTables(NamedTuple):
+    """Packed device join tables (host-built, see build_device_tables).
+
+    rp:    (2^RANK2_LOG2,) uint32 — bucket b (hash top bits) holds
+           ``hstart | nhashes << 27`` into the packed hash rows
+           (0 == empty bucket).
+    jrows: (JR, 16) uint32 — packed hash rows ``[hash x8 | val x8]``
+           where ``val = entry_start | entry_count << 27`` into the
+           packed entry rows.  Multi-hash buckets are 8-aligned so
+           ``ceil(nhashes/8)`` row fetches cover any bucket.
+    erows: (ER, 16) int32 — packed entry rows ``[unitig*2+strand x8 |
+           pos x8]``.  Multi-entry blocks are 8-aligned so
+           ``ceil(A/8)`` row fetches cover any block prefix of size A.
+    """
+
+    rp: jnp.ndarray
+    jrows: jnp.ndarray
+    erows: jnp.ndarray
+
+
+def _pack_blocks(sizes):
+    """Block-packing offsets: single-element blocks go contiguously
+    first (they never straddle an 8-row), larger blocks are 8-aligned
+    after them.  Returns (starts, total) — fully vectorised."""
+    import numpy as _np
+
+    sizes = _np.asarray(sizes, dtype=_np.int64)
+    starts = _np.zeros(len(sizes), dtype=_np.int64)
+    single = sizes == 1
+    n1 = int(single.sum())
+    starts[single] = _np.arange(n1)
+    multi = ~single & (sizes > 0)
+    msizes = sizes[multi]
+    aligned = (msizes + 7) & ~_np.int64(7)
+    base = (n1 + 7) & ~_np.int64(7)
+    mstarts = base + _np.concatenate([[0], _np.cumsum(aligned)[:-1]])
+    starts[multi] = mstarts
+    total = int(base + aligned.sum()) if len(msizes) else max(n1, 1)
+    return starts, total
+
+
+def build_device_tables(
+    idx_hashes, idx_offsets, entry_unitig, entry_pos, entry_strand,
+):
+    """Build the packed v2 join tables on the host.
+
+    Returns (DeviceTables, hash_takes) or None when the index violates
+    the packing bounds (offsets beyond 27 bits or a probe bucket with
+    more than 31 distinct hashes) — callers then use the legacy
+    bitmap + binary-search join path.
+    """
+    import numpy as _np
+
+    h = _np.asarray(idx_hashes, dtype=_np.uint32)
+    off = _np.asarray(idx_offsets, dtype=_np.int64)
+    H = len(h)
+    if H == 0:
+        return None
+
+    ecnt = _np.diff(off)
+    # --- pack entries: per-hash blocks ---
+    estarts, E2 = _pack_blocks(ecnt)
+    if E2 >= (1 << _PACK_BITS):
+        return None
+    packed = _np.asarray(entry_unitig, _np.int64) * 2 + _np.asarray(
+        entry_strand, _np.int64)
+    pos = _np.asarray(entry_pos, _np.int64)
+    ER = (E2 + 7) // 8 + 4  # pad rows: clipped takes read zeros
+    erows = _np.zeros((ER, 16), dtype=_np.int32)
+    dst = _np.repeat(estarts, ecnt) + (
+        _np.arange(int(off[-1])) - _np.repeat(off[:-1], ecnt))
+    erows[dst // 8, dst % 8] = packed
+    erows[dst // 8, 8 + dst % 8] = pos
+
+    # --- pack hashes: per-bucket blocks ---
+    b = (h >> _np.uint32(32 - RANK2_LOG2)).astype(_np.int64)
+    bcnt = _np.bincount(b, minlength=1 << RANK2_LOG2)
+    gmax = int(bcnt.max())
+    if gmax > _CNT_CAP:
+        return None
+    nonempty = _np.nonzero(bcnt)[0]
+    hstarts_b, H2 = _pack_blocks(bcnt[nonempty])
+    if H2 >= (1 << _PACK_BITS):
+        return None
+    # destination of each hash = its bucket's start + rank within bucket
+    first_idx = _np.concatenate([[0], _np.cumsum(bcnt[nonempty])[:-1]])
+    within = _np.arange(H) - _np.repeat(first_idx, bcnt[nonempty])
+    hdst = _np.repeat(hstarts_b, bcnt[nonempty]) + within
+    JR = (H2 + 7) // 8 + 4  # pad rows: clipped takes read zeros
+    jrows = _np.zeros((JR, 16), dtype=_np.uint32)
+    val = (estarts[: H] | (_np.minimum(ecnt, _CNT_CAP) << _PACK_BITS)).astype(
+        _np.uint32)
+    jrows[hdst // 8, hdst % 8] = h
+    jrows[hdst // 8, 8 + hdst % 8] = val
+
+    rp = _np.zeros(1 << RANK2_LOG2, dtype=_np.uint32)
+    rp[nonempty] = (hstarts_b | (bcnt[nonempty] << _PACK_BITS)).astype(_np.uint32)
+
+    hash_takes = max(1, -(-gmax // 8))
+    tables = DeviceTables(
+        rp=jnp.asarray(rp), jrows=jnp.asarray(jrows), erows=jnp.asarray(erows))
+    return tables, hash_takes
 
 
 def build_join_tables(idx_hashes) -> tuple:
@@ -202,6 +315,47 @@ def map_reads_device(
     aq = jnp.where(a_valid, aq, 0).reshape(R, S)
     at = jnp.where(a_valid, at, 0).reshape(R, S)
 
+    return _anchors_to_hits(
+        key, diag, aq, at, k, bandwidth, min_anchor_count, min_chain_score,
+        max_hits, overflow,
+    )
+
+
+def _seg_stats_to_starts(aq, at, ones, new_seg):
+    """Fused variant of five :func:`_seg_reduce_to_starts` calls — one
+    reverse segmented scan carrying (q_min, q_max, t_min, t_max, count)
+    together (the scans are VMEM-bandwidth-bound; fusing them is ~5x
+    cheaper than five passes)."""
+    rev = lambda x: jnp.flip(x, axis=1)
+    last = jnp.concatenate(
+        [new_seg[:, 1:], jnp.ones_like(new_seg[:, :1])], axis=1)
+    flags = rev(last)
+    rq, rt, ro = rev(aq), rev(at), rev(ones)
+
+    def op(a, b):
+        fa, qna, qxa, tna, txa, na = a
+        fb, qnb, qxb, tnb, txb, nb = b
+        return (
+            fa | fb,
+            jnp.where(fb, qnb, jnp.minimum(qna, qnb)),
+            jnp.where(fb, qxb, jnp.maximum(qxa, qxb)),
+            jnp.where(fb, tnb, jnp.minimum(tna, tnb)),
+            jnp.where(fb, txb, jnp.maximum(txa, txb)),
+            jnp.where(fb, nb, na + nb),
+        )
+
+    _, qn, qx, tn, tx, n = jax.lax.associative_scan(
+        op, (flags, rq, rq, rt, rt, ro), axis=1)
+    return rev(qn), rev(qx), rev(tn), rev(tx), rev(n)
+
+
+def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
+                     min_chain_score, max_hits, overflow):
+    """Shared mapping tail: global (key, diag) sort, band segmentation,
+    per-segment stats, hit compaction (semantics of the host path's
+    chaining — ``pipeline.mapper.map_read``)."""
+    R, S = key.shape
+
     # global per-read sort by ((unitig, strand), diagonal)
     key, diag, aq, at = jax.lax.sort(
         (key, diag, aq, at), dimension=1, num_keys=2)
@@ -212,12 +366,9 @@ def map_reads_device(
     new_seg = (key != prev_key) | (diag - prev_diag > bandwidth)
     new_seg = new_seg.at[:, 0].set(True)
 
-    q_min = _seg_reduce_to_starts(aq, new_seg, jnp.minimum)
-    q_max = _seg_reduce_to_starts(aq, new_seg, jnp.maximum)
-    t_min = _seg_reduce_to_starts(at, new_seg, jnp.minimum)
-    t_max = _seg_reduce_to_starts(at, new_seg, jnp.maximum)
     ones = valid.astype(jnp.int32)
-    seg_n = _seg_reduce_to_starts(ones, new_seg, jnp.add)
+    q_min, q_max, t_min, t_max, seg_n = _seg_stats_to_starts(
+        aq, at, ones, new_seg)
 
     # covered read bases: re-sort segments by t (seg ids are sorted, so
     # each segment keeps its slot range), clip gaps at k
@@ -262,3 +413,151 @@ def map_reads_device(
         "n_hits": jnp.minimum(n_hits, max_hits),
         "overflow": overflow,
     }
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "w", "bandwidth", "min_anchor_count", "min_chain_score",
+    "max_sel", "max_pos", "max_per_hit", "max_hits", "hash_takes"))
+def map_reads_device_v2(
+    codes: jnp.ndarray,        # (R, L) uint8/int32, pad = 4
+    lens: jnp.ndarray,         # (R,)
+    rp: jnp.ndarray,           # DeviceTables.rp
+    jrows: jnp.ndarray,        # DeviceTables.jrows
+    erows: jnp.ndarray,        # DeviceTables.erows
+    k: int = 15,
+    w: int = 5,
+    bandwidth: int = 500,
+    min_anchor_count: int = 4,
+    min_chain_score: int = 100,
+    max_sel: int = 4608,
+    max_pos: int = 1024,
+    max_per_hit: int = 4,
+    max_hits: int = 64,
+    hash_takes: int = 1,       # from build_device_tables
+):
+    """v2 of :func:`map_reads_device`: same results, restructured for
+    the TPU's memory system.  Every random access is either one 4-byte
+    rank-probe gather or a contiguous 16-word row fetch
+    (``jnp.take(..., axis=0)``), replacing the bitmap probe + 6-round
+    binary search + 3D entry gathers of v1 (measured ~4x end to end).
+
+    Stages: minimizer sketch -> compact selected positions (carrying
+    hash+strand through one sort) -> rank-probe -> compact candidates ->
+    packed-row join -> packed-row entry expansion -> shared chaining
+    tail.  ``max_per_hit`` must be < 31 (count saturation bound).
+    """
+    if max_per_hit >= _CNT_CAP:
+        raise ValueError("max_per_hit must be < 31 for the v2 join path")
+    R, L = codes.shape
+    Lk = L - k + 1
+    A = max_per_hit
+    P = min(max_sel, Lk)
+    max_pos = min(max_pos, P)
+    S = max_pos * A
+    entry_takes = max(1, -(-A // 8))
+
+    selected, h, strand = minimizer_sketch(codes, lens, k, w)  # (R, Lk)
+
+    # -- compact selected minimizers to (R, P), carrying hash+strand.
+    # strand packs into the position key (pos < 2^30); the sort is the
+    # ragged->padded idiom (cheap: rows live in VMEM)
+    pos_ids = jax.lax.broadcasted_iota(jnp.int32, (R, Lk), 1)
+    skey = jnp.where(selected, pos_ids * 2 + strand.astype(jnp.int32), _I32_MAX)
+    skey, h_s = jax.lax.sort((skey, h), dimension=1, num_keys=1)
+    skey = skey[:, :P]
+    h_s = h_s[:, :P]
+    sel_valid = skey < _I32_MAX
+    n_sel = jnp.sum(selected.astype(jnp.int32), axis=1)
+    overflow = n_sel > P
+
+    # -- rank probe: one gather per selected minimizer
+    bkt = (h_s >> jnp.uint32(32 - RANK2_LOG2)).astype(jnp.int32)
+    rpv = rp[jnp.where(sel_valid, bkt, 0)]
+    cand = sel_valid & (rpv != 0)
+
+    # -- compact candidates to (R, max_pos)
+    if max_pos < P:
+        ckey = jnp.where(cand, skey, _I32_MAX)
+        ckey, h_c, rpv_c = jax.lax.sort((ckey, h_s, rpv), dimension=1, num_keys=1)
+        ckey = ckey[:, :max_pos]
+        h_c = h_c[:, :max_pos]
+        rpv_c = rpv_c[:, :max_pos]
+        n_cand = jnp.sum(cand.astype(jnp.int32), axis=1)
+        overflow = overflow | (n_cand > max_pos)
+        cand_v = ckey < _I32_MAX
+    else:
+        ckey, h_c, rpv_c, cand_v = skey, h_s, rpv, cand
+    t_c = jnp.where(cand_v, ckey >> 1, 0)          # anchor read position
+    strand_c = (ckey & 1).astype(jnp.int32)
+
+    # -- join: fetch the candidate's probe bucket as packed hash rows
+    hlo = (rpv_c & jnp.uint32(_PACK_MASK)).astype(jnp.int32)
+    hcnt = (rpv_c >> _PACK_BITS).astype(jnp.int32)
+    JR = jrows.shape[0]
+    row0 = hlo >> 3
+    whash = []
+    wval = []
+    for t in range(hash_takes):
+        jr = jnp.take(jrows, jnp.clip(row0 + t, 0, JR - 1), axis=0)  # (R,C,16)
+        whash.append(jr[..., :8])
+        wval.append(jr[..., 8:])
+    whash = jnp.concatenate(whash, axis=-1)        # (R, C, 8*hash_takes)
+    wval = jnp.concatenate(wval, axis=-1)
+    Wh = 8 * hash_takes
+    slot = (row0 * 8)[..., None] + jnp.arange(Wh, dtype=jnp.int32)
+    match = (
+        cand_v[..., None]
+        & (whash == h_c[..., None])
+        & (slot >= hlo[..., None])
+        & (slot < (hlo + hcnt)[..., None])
+    )
+    found = jnp.any(match, axis=-1)
+    val = jnp.sum(jnp.where(match, wval, jnp.uint32(0)), axis=-1)  # <=1 match
+    elo = (val & jnp.uint32(_PACK_MASK)).astype(jnp.int32)
+    ecnt = (val >> _PACK_BITS).astype(jnp.int32)
+    overflow = overflow | jnp.any(found & (ecnt > A), axis=1)
+    cnt_c = jnp.where(found, jnp.minimum(ecnt, A), 0)
+
+    # -- expand: fetch each hash's entry block as packed entry rows.
+    # Multi-entry blocks are 8-aligned (offset 0); single-entry blocks
+    # sit at arbitrary offsets but only need slot elo%8.
+    ER = erows.shape[0]
+    erow0 = elo >> 3
+    wpk = []
+    wpos = []
+    for t in range(entry_takes):
+        er = jnp.take(erows, jnp.clip(erow0 + t, 0, ER - 1), axis=0)  # (R,C,16)
+        wpk.append(er[..., :8])
+        wpos.append(er[..., 8:])
+    wpk = jnp.concatenate(wpk, axis=-1)            # (R, C, 8*entry_takes)
+    wpos = jnp.concatenate(wpos, axis=-1)
+    s0 = elo & 7
+    sel8 = lambda wnd: sum(
+        jnp.where(s0 == s, wnd[..., s], 0) for s in range(8))
+    a_ids = jnp.arange(A, dtype=jnp.int32)
+    a_valid = a_ids[None, None, :] < cnt_c[:, :, None]
+    aligned = (s0 == 0)[..., None]
+    pk = jnp.where(
+        a_ids[None, None, :] == 0, sel8(wpk)[..., None],
+        jnp.where(aligned, wpk[..., :A], 0))
+    aq = jnp.where(
+        a_ids[None, None, :] == 0, sel8(wpos)[..., None],
+        jnp.where(aligned, wpos[..., :A], 0))
+    pk = jnp.where(a_valid, pk, 0)
+    aq = jnp.where(a_valid, aq, 0)
+
+    au = pk >> 1
+    arel = (pk & 1) == strand_c[:, :, None]
+    at = jnp.broadcast_to(t_c[:, :, None], (R, max_pos, A))
+
+    key = jnp.where(a_valid, au * 2 + arel.astype(jnp.int32), _I32_MAX)
+    diag = jnp.where(arel, at - aq, at + aq)
+    key = key.reshape(R, S)
+    diag = jnp.where(a_valid, diag, 0).reshape(R, S)
+    aq = aq.reshape(R, S)
+    at = jnp.where(a_valid, at, 0).reshape(R, S)
+
+    return _anchors_to_hits(
+        key, diag, aq, at, k, bandwidth, min_anchor_count, min_chain_score,
+        max_hits, overflow,
+    )

@@ -121,6 +121,42 @@ def sharded_map_reads(
     return jax.jit(step)(codes, lens, *index_arrays)
 
 
+def sharded_map_reads_v2(
+    codes,
+    lens,
+    tables,
+    mesh: Mesh,
+    axis: str = "reads",
+    **kwargs,
+):
+    """Multi-chip FULL mapping over the packed v2 join tables
+    (:func:`ops.mapping_jax.map_reads_device_v2`): reads shard over the
+    mesh, the packed tables are replicated — no cross-chip traffic in
+    the hot loop (ICI only carries the psum'd stat pair)."""
+    from muchsalsa_tpu.ops.mapping_jax import map_reads_device_v2
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P()),
+        out_specs=({k: P(axis) for k in (
+            "unitig", "strand", "qs", "qe", "ts", "te", "matches",
+            "n_anchors", "n_hits", "overflow")}, P()),
+    )
+    def step(local_codes, local_lens, rp, jrows, erows):
+        out = map_reads_device_v2(local_codes, local_lens, rp, jrows, erows,
+                                  **kwargs)
+        stats = jnp.stack(
+            [
+                jnp.sum((out["n_hits"] > 0).astype(jnp.float32)),
+                jnp.sum(out["n_hits"].astype(jnp.float32)),
+            ]
+        )
+        return out, jax.lax.psum(stats, axis)
+
+    return jax.jit(step)(codes, lens, tables.rp, tables.jrows, tables.erows)
+
+
 def sharded_myers(
     q_codes, q_lens, t_codes, t_lens, mesh: Mesh, axis: str = "reads"
 ):

@@ -401,23 +401,44 @@ def map_all_with_device(
     to the host path for reads whose anchors exceed the static device
     budgets (``overflow``).  Results are identical to per-read
     :func:`map_read`.  Reads are length-bucketed (pad to the next power
-    of two) to bound recompiles."""
+    of two) to bound recompiles.
+
+    Uses the packed-row v2 join (``map_reads_device_v2``) when the index
+    fits its packing bounds (it virtually always does), and shards read
+    batches over the device mesh when more than one device is attached
+    (the index tables are replicated — SURVEY.md §2.5)."""
     import jax
     import jax.numpy as jnp
 
-    from muchsalsa_tpu.ops.mapping_jax import build_join_tables, map_reads_device
+    from muchsalsa_tpu.ops.mapping_jax import (
+        build_device_tables, build_join_tables, map_reads_device,
+        map_reads_device_v2)
 
     items = list(reads.items())
     if not items:
         return []
-    bitmap, rank, rounds = build_join_tables(index.hashes)
-    idx_dev = (
-        jnp.asarray(index.hashes),
-        jnp.asarray(index.offsets.astype(np.int32)),
-        jnp.asarray(index.entry_unitig),
-        jnp.asarray(index.entry_pos),
-        jnp.asarray(index.entry_strand),
-    )
+    built = None
+    if max_per_hit < 31:  # v2 count-saturation bound
+        built = build_device_tables(
+            index.hashes, index.offsets, index.entry_unitig, index.entry_pos,
+            index.entry_strand)
+    devices = jax.devices()
+    mesh = None
+    if built is not None and len(devices) > 1 and batch_reads % len(devices) == 0:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(devices), ("reads",))
+    if built is not None:
+        tables, hash_takes = built
+    else:
+        bitmap, rank, rounds = build_join_tables(index.hashes)
+        idx_dev = (
+            jnp.asarray(index.hashes),
+            jnp.asarray(index.offsets.astype(np.int32)),
+            jnp.asarray(index.entry_unitig),
+            jnp.asarray(index.entry_pos),
+            jnp.asarray(index.entry_strand),
+        )
 
     def bucket_len(n: int) -> int:
         L = 1024
@@ -442,14 +463,27 @@ def map_all_with_device(
                 c = encode_2bit(seq)
                 codes[i, : len(c)] = c
                 lens[i] = len(c)
-            out = map_reads_device(
-                jnp.asarray(codes), jnp.asarray(lens), *idx_dev, bitmap, rank,
+            kw = dict(
                 k=cfg.k, w=cfg.w, bandwidth=cfg.bandwidth,
                 min_anchor_count=cfg.min_anchor_count,
                 min_chain_score=cfg.min_chain_score,
                 max_pos=max_pos, max_per_hit=max_per_hit, max_hits=max_hits,
-                join_rounds=rounds,
             )
+            if built is not None and mesh is not None:
+                from muchsalsa_tpu.parallel.sharded import sharded_map_reads_v2
+
+                out, _stats = sharded_map_reads_v2(
+                    jnp.asarray(codes), jnp.asarray(lens), tables, mesh,
+                    hash_takes=hash_takes, **kw)
+            elif built is not None:
+                out = map_reads_device_v2(
+                    jnp.asarray(codes), jnp.asarray(lens),
+                    tables.rp, tables.jrows, tables.erows,
+                    hash_takes=hash_takes, **kw)
+            else:
+                out = map_reads_device(
+                    jnp.asarray(codes), jnp.asarray(lens), *idx_dev, bitmap,
+                    rank, join_rounds=rounds, **kw)
             out = {k2: np.asarray(v2) for k2, v2 in out.items()}
             for i, (rid, seq) in enumerate(chunk):
                 if out["overflow"][i]:

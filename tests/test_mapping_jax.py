@@ -232,3 +232,129 @@ def test_map_all_with_device_empty():
     cfg = MapperConfig()
     index = MinimizerIndex.build(store, cfg)
     assert map_all_with_device(index, SequenceStore(), cfg) == []
+
+
+def _device_map_v2(index, reads, cfg, **caps):
+    from muchsalsa_tpu.ops.mapping_jax import build_device_tables, map_reads_device_v2
+
+    seqs = [seq for _, seq in reads.items()]
+    rids = [rid for rid, _ in reads.items()]
+    L = max(len(s) for s in seqs)
+    codes, lens = _pack_reads(seqs, L)
+    built = build_device_tables(
+        index.hashes, index.offsets, index.entry_unitig, index.entry_pos,
+        index.entry_strand)
+    assert built is not None
+    tables, hash_takes = built
+    out = map_reads_device_v2(
+        codes, lens, tables.rp, tables.jrows, tables.erows,
+        k=cfg.k, w=cfg.w, bandwidth=cfg.bandwidth,
+        min_anchor_count=cfg.min_anchor_count,
+        min_chain_score=cfg.min_chain_score, hash_takes=hash_takes,
+        **caps,
+    )
+    return rids, {k: np.asarray(v) for k, v in out.items()}
+
+
+def test_device_mapper_v2_matches_host():
+    rng = np.random.default_rng(42)
+    sim = simulate(rng, genome_length=30_000, coverage=6.0, read_length=5_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    reads = SequenceStore()
+    for name, seq in sim.read_records():
+        reads.add(name, add_noise(rng, seq, 0.05))
+
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+    rids, dev = _device_map_v2(index, reads, cfg, max_pos=2048, max_per_hit=2)
+
+    assert not dev["overflow"].any(), "test data exceeded anchor budget"
+    for i, rid in enumerate(rids):
+        host = map_read(index, reads.sequence(rid), cfg, use_native=False)
+        n = int(dev["n_hits"][i])
+        assert n == len(host), (i, n, len(host))
+        for j, m in enumerate(host):
+            assert dev["unitig"][i, j] == m.unitig
+            assert bool(dev["strand"][i, j]) == m.strand
+            assert dev["qs"][i, j] == m.q_start
+            assert dev["qe"][i, j] == m.q_end
+            assert dev["ts"][i, j] == m.t_start
+            assert dev["te"][i, j] == m.t_end
+            assert dev["matches"][i, j] == m.matches
+            assert dev["n_anchors"][i, j] == m.n_anchors
+
+
+def test_device_mapper_v2_overflow_flag():
+    rng = np.random.default_rng(10)
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    unit = random_genome(rng, 400)
+    store = SequenceStore()
+    for i in range(6):  # same sequence 6x -> every minimizer has 6 entries
+        store.add(f"u{i}", unit)
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+
+    reads = SequenceStore()
+    reads.add("r0", unit)
+    _, dev = _device_map_v2(index, reads, cfg, max_per_hit=4)
+    assert dev["overflow"][0]
+    _, dev = _device_map_v2(index, reads, cfg, max_per_hit=8)
+    assert not dev["overflow"][0]
+    assert dev["n_hits"][0] == 6
+
+
+def test_device_mapper_v2_random_adversarial():
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    rng = np.random.default_rng(46)
+    store = SequenceStore()
+    rep = random_genome(rng, 250)
+    for i in range(30):
+        g = random_genome(rng, int(rng.integers(300, 900)))
+        if i % 3 == 0:
+            g = g[:100] + rep + g[100:]  # planted repeat
+        store.add(f"u{i}", g)
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+
+    reads = SequenceStore()
+    for i in range(20):
+        src = int(rng.integers(0, 30))
+        seq = store.sequence(src)
+        s = int(rng.integers(0, max(1, len(seq) - 200)))
+        reads.add(f"r{i}", seq[s : s + int(rng.integers(150, 400))])
+    reads.add("rep_read", rep + rep)  # hits the repeat everywhere
+
+    rids, dev = _device_map_v2(index, reads, cfg, max_pos=512, max_per_hit=4)
+    for i, rid in enumerate(rids):
+        if dev["overflow"][i]:
+            continue
+        host = map_read(index, reads.sequence(rid), cfg, use_native=False)
+        assert int(dev["n_hits"][i]) == len(host), rid
+        for j, m in enumerate(host):
+            assert dev["matches"][i, j] == m.matches
+
+
+def test_device_mapper_v2_matches_v1():
+    """v1 (bitmap + binary search) and v2 (packed rows) agree on hits
+    for every read neither flags as overflow."""
+    rng = np.random.default_rng(47)
+    sim = simulate(rng, genome_length=20_000, coverage=5.0, read_length=4_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    reads = SequenceStore()
+    for name, seq in sim.read_records():
+        reads.add(name, add_noise(rng, seq, 0.06))
+
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+    caps = dict(max_pos=2048, max_per_hit=2)
+    _, v1 = _device_map(index, reads, cfg, use_bitmap=True, **caps)
+    _, v2 = _device_map_v2(index, reads, cfg, **caps)
+    for key in ("unitig", "strand", "qs", "qe", "ts", "te", "matches",
+                "n_anchors", "n_hits"):
+        np.testing.assert_array_equal(v1[key], v2[key], err_msg=key)
