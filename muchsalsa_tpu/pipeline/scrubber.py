@@ -91,19 +91,20 @@ def _covered_spans(node: _Node) -> list[tuple[int, int]]:
     return covered
 
 
-def scrub_reads(
-    paf_lines: list[str],
-    reads: SequenceStore,
-    scrub_cfg: ScrubConfig | None = None,
-    mapper_cfg: MapperConfig | None = None,
-) -> list[tuple[str, bytes]]:
-    """Returns scrubbed read records ``(name, sequence)``."""
-    scrub_cfg = scrub_cfg or ScrubConfig()
-    mapper_cfg = mapper_cfg or MapperConfig()
+def _subset_schedule(
+    nodes, adj, subset_size: int
+) -> list[tuple[list[str], list[str]]]:
+    """Precompute the (subset, center) schedule of the streaming scrub.
 
-    nodes, adj = build_anchor_graph(paf_lines, scrub_cfg.min_hit_length)
-    out: list[tuple[str, bytes]] = []
+    The BFS subsets, center selection, and node retirement depend only
+    on the anchor graph — never on the overlap results — so the whole
+    schedule is known up front.  That makes the expensive per-subset
+    all-vs-all overlap step embarrassingly parallel (across processes /
+    hosts) while the order-dependent range merging stays sequential.
+    """
+    adj = {k: set(v) for k, v in adj.items()}
     remaining = set(nodes)
+    schedule: list[tuple[list[str], list[str]]] = []
 
     bfs_subset: set[str] = set()
     while remaining:
@@ -116,7 +117,7 @@ def scrub_reads(
         queue = deque([start])
         seen = {start} | bfs_subset
         order = [start]
-        while queue and len(bfs_subset) + len(order) < 10 * scrub_cfg.subset_size:
+        while queue and len(bfs_subset) + len(order) < 10 * subset_size:
             cur = queue.popleft()
             for nb in sorted(adj.get(cur, ())):
                 if nb in seen or nb not in remaining:
@@ -126,33 +127,44 @@ def scrub_reads(
                 queue.append(nb)
 
         for node in order:
-            if len(bfs_subset) >= scrub_cfg.subset_size:
+            if len(bfs_subset) >= subset_size:
                 break
             bfs_subset.add(node)
 
-        if len(bfs_subset) < scrub_cfg.subset_size and len(remaining) > len(bfs_subset):
+        if len(bfs_subset) < subset_size and len(remaining) > len(bfs_subset):
             continue  # merge small component into the next subset
 
-        _scrub_subset(bfs_subset, nodes, adj, remaining, reads, out, scrub_cfg, mapper_cfg)
+        # center = members with no neighbor outside the subset
+        center = set(bfs_subset)
+        for u in bfs_subset:
+            for v in adj.get(u, ()):
+                if v in remaining and v not in bfs_subset:
+                    center.discard(u)
+                    break
+
+        schedule.append((sorted(bfs_subset), sorted(center)))
+
+        for name in center:
+            remaining.discard(name)
+            subsetless = adj.pop(name, set())
+            for v in subsetless:
+                adj.get(v, set()).discard(name)
         bfs_subset.clear()
 
-    return out
+    return schedule
 
 
-def _scrub_subset(subset, nodes, adj, remaining, reads, out, scrub_cfg, mapper_cfg):
-    # center = members with no neighbor outside the subset
-    center = set(subset)
-    for u in subset:
-        for v in adj.get(u, ()):
-            if v in remaining and v not in subset:
-                center.discard(u)
-                break
+def _subset_overlap_records(
+    subset: list[str], reads: SequenceStore, scrub_cfg, mapper_cfg
+) -> list[tuple[str, str, int, int, str]]:
+    """All-vs-all overlap of one subset -> ordered merge records
+    ``(target_read, other_read, start, end, direction)``.
 
-    # all-vs-all overlap of the subset with the native mapper: one
-    # multithreaded batch call (index sketching included) when the
-    # native library is available; otherwise the python path computes
-    # each read's minimizer sketch once and reuses it for index build
-    # and lookup
+    Pure function of (subset, reads) — the parallelizable step.  Uses
+    one multithreaded native batch call when available; otherwise the
+    python path computes each read's minimizer sketch once and reuses
+    it for index build and lookup.
+    """
     from muchsalsa_tpu import native
     from muchsalsa_tpu.ops.minimizer import minimizers
     from muchsalsa_tpu.pipeline.mapper import map_batch
@@ -186,6 +198,7 @@ def _scrub_subset(subset, nodes, adj, remaining, reads, out, scrub_cfg, mapper_c
             for rid, seq in subset_store.items()
         ]
 
+    records: list[tuple[str, str, int, int, str]] = []
     for rid, maps in per_read:
         rname = subset_store.registry.name(rid)
         for m in maps:
@@ -196,15 +209,19 @@ def _scrub_subset(subset, nodes, adj, remaining, reads, out, scrub_cfg, mapper_c
             oname = subset_store.registry.name(m.unitig)
             d = "+" if m.strand else "-"
             # id_1 = indexed read (query coords), id_2 = mapped read
-            _merge_ranges(
-                nodes[oname], rname, m.q_start, m.q_end, d, scrub_cfg.ext_merge_distance
-            )
-            _merge_ranges(
-                nodes[rname], oname, m.t_start, m.t_end, d, scrub_cfg.ext_merge_distance
-            )
+            records.append((oname, rname, m.q_start, m.q_end, d))
+            records.append((rname, oname, m.t_start, m.t_end, d))
+    return records
+
+
+def _apply_and_emit(nodes, center, records, reads, out, scrub_cfg) -> None:
+    """Sequential half of one subset: merge overlap records into the
+    node ranges, then emit the covered spans of the center nodes."""
+    for tgt, other, s, e, d in records:
+        _merge_ranges(nodes[tgt], other, s, e, d, scrub_cfg.ext_merge_distance)
 
     trim = scrub_cfg.end_trim
-    for name in sorted(center):
+    for name in center:
         node = nodes[name]
         rid = reads.registry.get(name)
         if rid is None or rid not in reads:
@@ -217,9 +234,76 @@ def _scrub_subset(subset, nodes, adj, remaining, reads, out, scrub_cfg, mapper_c
             if hi >= lo:
                 out.append((f"{name}_{i}", seq[lo : hi + 1]))
 
-    for name in center:
-        remaining.discard(name)
-        subsetless = adj.pop(name, set())
-        for v in subsetless:
-            adj.get(v, set()).discard(name)
-    subset -= center
+
+def scrub_reads(
+    paf_lines: list[str],
+    reads: SequenceStore,
+    scrub_cfg: ScrubConfig | None = None,
+    mapper_cfg: MapperConfig | None = None,
+    process_index: int = 0,
+    process_count: int = 1,
+    allgather=None,
+) -> list[tuple[str, bytes]]:
+    """Returns scrubbed read records ``(name, sequence)``.
+
+    With ``process_count > 1`` the per-subset all-vs-all overlap step is
+    sharded round-robin across processes and the record lists exchanged
+    through ``allgather`` (``allgather(list_of_(subset_idx, records)) ->
+    flattened list from all processes``) — SURVEY.md §2.5's "per-host
+    read sharding + collective merge of overlap edges".  The merge/emit
+    pass replays records in subset order, so output is identical to the
+    single-process run.
+    """
+    scrub_cfg = scrub_cfg or ScrubConfig()
+    mapper_cfg = mapper_cfg or MapperConfig()
+
+    nodes, adj = build_anchor_graph(paf_lines, scrub_cfg.min_hit_length)
+    schedule = _subset_schedule(nodes, adj, scrub_cfg.subset_size)
+
+    if process_count > 1:
+        local = [
+            (i, _subset_overlap_records(subset, reads, scrub_cfg, mapper_cfg))
+            for i, (subset, _center) in enumerate(schedule)
+            if i % process_count == process_index
+        ]
+        gathered = allgather(local) if allgather is not None else local
+        by_subset = dict(gathered)
+        record_lists = [by_subset[i] for i in range(len(schedule))]
+    else:
+        record_lists = [
+            _subset_overlap_records(subset, reads, scrub_cfg, mapper_cfg)
+            for subset, _center in schedule
+        ]
+
+    out: list[tuple[str, bytes]] = []
+    for (subset, center), records in zip(schedule, record_lists):
+        _apply_and_emit(nodes, center, records, reads, out, scrub_cfg)
+    return out
+
+
+def jax_record_allgather(local: list) -> list:
+    """Exchange per-subset overlap records across jax processes.
+
+    Records are string-keyed; they serialize to bytes and cross the
+    DCN as uint8 arrays via ``multihost_utils.process_allgather`` (the
+    collective-merge leg of the streaming scrub).  Single-process: id.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return local
+    import pickle
+
+    import numpy as _np
+    from jax.experimental import multihost_utils
+
+    blob = _np.frombuffer(pickle.dumps(local), dtype=_np.uint8)
+    n = _np.zeros((), dtype=_np.int64) + len(blob)
+    sizes = multihost_utils.process_allgather(n)
+    padded = _np.zeros(int(sizes.max()), dtype=_np.uint8)
+    padded[: len(blob)] = blob
+    blobs = multihost_utils.process_allgather(padded)
+    merged: list = []
+    for row, size in zip(blobs, sizes):
+        merged.extend(pickle.loads(row[: int(size)].tobytes()))
+    return merged

@@ -173,3 +173,48 @@ def test_scrub_multiple_subsets():
     names = {n.split("_")[0] for n, _ in out}
     # every read eventually becomes a center and is emitted
     assert names == {f"r{i}" for i in range(8)}
+
+
+def test_scrub_sharded_matches_single():
+    """The per-subset overlap step sharded over N 'processes' (records
+    exchanged through an allgather) must reproduce the single-process
+    output exactly — the collective-merge leg of the streaming scrub
+    (reference scrubber_bfs.py:163-248, SURVEY.md §2.5)."""
+    rng = np.random.default_rng(21)
+    genome = random_genome(rng, 30_000)
+    reads = SequenceStore()
+    lines = []
+    for i in range(8):
+        s = i * 3000
+        reads.add(f"r{i}", genome[s : s + 6000])
+    for i in range(7):
+        lines.append(paf_line(f"u{i}", 1000, 0, 1000, f"r{i}", 6000, 2500, 3500))
+        lines.append(paf_line(f"u{i}", 1000, 0, 1000, f"r{i+1}", 6000, 0, 1000))
+
+    scfg, mcfg = ScrubConfig(subset_size=2), MapperConfig()
+    single = scrub_reads(lines, reads, scfg, mcfg)
+
+    # emulate the synchronous collective: every "process" contributes
+    # its round-robin share of subsets, the gather returns the union
+    from muchsalsa_tpu.pipeline.scrubber import (
+        _subset_overlap_records, _subset_schedule, build_anchor_graph)
+
+    nodes, adj = build_anchor_graph(lines, scfg.min_hit_length)
+    schedule = _subset_schedule(nodes, adj, scfg.subset_size)
+    assert len(schedule) >= 3, "fixture must span several subsets"
+
+    def fake_allgather(local, n=3):
+        mine = {i for i, _ in local}
+        merged = list(local)
+        for i, (subset, _center) in enumerate(schedule):
+            if i not in mine:
+                merged.append(
+                    (i, _subset_overlap_records(subset, reads, scfg, mcfg)))
+        return merged
+
+    for p in range(3):
+        sharded = scrub_reads(
+            lines, reads, scfg, mcfg,
+            process_index=p, process_count=3, allgather=fake_allgather,
+        )
+        assert sharded == single, f"process {p} output diverged"
