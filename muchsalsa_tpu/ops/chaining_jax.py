@@ -242,10 +242,14 @@ def chaining_phase_device(
         if len(probs) < min_device_batch:
             host_probs.extend(probs.tolist())
             continue
-        B, K = len(probs), bucket
+        # pad the batch axis to the next power of two: B is data-dependent
+        # and every distinct (B, K) shape is a fresh (remote) compile
+        nb = len(probs)
+        B = 1 << int(nb - 1).bit_length() if nb > 1 else 1
+        K = bucket
         sel_sizes = sizes[probs]
         total = int(sel_sizes.sum())
-        prob_of_row = np.repeat(np.arange(B), sel_sizes)
+        prob_of_row = np.repeat(np.arange(nb), sel_sizes)
         row_pos = np.arange(total) - np.repeat(np.cumsum(sel_sizes) - sel_sizes, sel_sizes)
         src = order[np.repeat(starts[probs], sel_sizes) + row_pos]
         dest = prob_of_row * K + row_pos
@@ -266,7 +270,9 @@ def chaining_phase_device(
         arrs["valid"] = valid.reshape(B, K)
 
         batch = {k2: jnp.asarray(v2) for k2, v2 in arrs.items()}
-        batch["cls_dir"] = jnp.asarray(prob_dir[probs])
+        cls_dir = np.zeros(B, dtype=bool)
+        cls_dir[:nb] = prob_dir[probs]
+        batch["cls_dir"] = jnp.asarray(cls_dir)
         if jax.devices()[0].platform == "tpu":
             scores_dev, bps_dev = chain_dp_batch_pallas(batch, int(wiggle_room))
         else:

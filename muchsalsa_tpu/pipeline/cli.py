@@ -69,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     full.add_argument("--device-map", action="store_true",
                       help="run the mapping stages on the accelerator "
                       "(identical output; host fallback per overflow read)")
+    full.add_argument("--device-kmer", action="store_true",
+                      help="count k-mers on the accelerator (identical "
+                      "output; wins when the device link is fast)")
 
     mp = sub.add_parser("map", help="native minimizer mapper (PAF out)")
     mp.add_argument("query_fa", help="unitigs/anchors (PAF query)")
@@ -136,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
             kmer_filter_k=args.kmer_filter_k,
             unitig_k=args.unitig_k,
             device_map=bool(getattr(args, "device_map", False)),
+            device_kmer=bool(getattr(args, "device_kmer", False)),
         )
         print(f"Assembly written to {final}")
         return 0

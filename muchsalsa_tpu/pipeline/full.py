@@ -47,6 +47,7 @@ def run_full_pipeline(
     kmer_filter_k: int | None = None,
     unitig_k: int = 31,
     device_map: bool = False,
+    device_kmer: bool = False,
 ) -> Path:
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
@@ -80,7 +81,12 @@ def run_full_pipeline(
 
         pairs = _read_pairs(illumina1, illumina2)
         seqs = [s for p in pairs for s in p if s]
-        uniq, counts = count_kmers(seqs, k_filter)
+        if device_kmer:
+            from muchsalsa_tpu.ops.kmer_jax import count_kmers_device
+
+            uniq, counts = count_kmers_device(seqs, k_filter)
+        else:
+            uniq, counts = count_kmers(seqs, k_filter)
         th = abundance_threshold(histogram(counts))
         bad = high_abundance_kmers(uniq, counts, max(th, 2))
         kept = filter_read_pairs(pairs, bad, k_filter)
