@@ -234,6 +234,73 @@ def _bench_full_mapping(latency: float) -> float:
     return R / dt
 
 
+def _device_parity_check() -> str:
+    """Tiny on-device regression run every bench round: the device
+    mapping (v2 join) must equal the host mapper on 64 simulated reads,
+    and the f32 chaining DP must pick the same chains as the f64
+    oracle.  Returns 'ok' or a failure description (also printed)."""
+    import jax
+
+    try:
+        import numpy as _np
+
+        from muchsalsa_tpu.config import MapperConfig
+        from muchsalsa_tpu.io.fasta import SequenceStore
+        from muchsalsa_tpu.pipeline.mapper import (
+            MinimizerIndex, map_all, map_all_with_device)
+        from muchsalsa_tpu.testing.simulate import add_noise, simulate
+
+        rng = _np.random.default_rng(20260819)
+        sim = simulate(rng, genome_length=60_000, coverage=5.0,
+                       read_length=5_000)
+        unitigs = SequenceStore()
+        for name, seq in sim.unitig_records():
+            unitigs.add(name, seq)
+        reads = SequenceStore()
+        for i, (name, seq) in enumerate(sim.read_records()):
+            if i >= 64:
+                break
+            reads.add(name, add_noise(rng, seq, 0.05))
+        cfg = MapperConfig()
+        index = MinimizerIndex.build(unitigs, cfg)
+        host = map_all(index, reads, cfg)
+        dev = map_all(index, reads, cfg, device=True)
+        if dev != host:
+            return f"mapping device/host diverged ({len(dev)} vs {len(host)} rows)"
+
+        # chaining: the on-device (f32 on TPU) batched DP vs the exact
+        # host f64 oracle, end to end through the graph phase
+        from muchsalsa_tpu.assemble.driver import (
+            build_graph, chaining_phase)
+        from muchsalsa_tpu.io.paf import read_paf
+        from muchsalsa_tpu.io.registry import Registry
+        from muchsalsa_tpu.matching.edges import build_edges
+        from muchsalsa_tpu.matching.store import MatchStore
+        from muchsalsa_tpu.ops.chaining_jax import chaining_phase_device
+        from muchsalsa_tpu.testing.simulate import write_simulation
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            paths = write_simulation(sim, td)
+            records = read_paf(paths["paf"], registry_nanopore=Registry(),
+                               registry_illumina=Registry())
+        store = MatchStore.from_paf(records)
+        em = build_edges(store)
+
+        def run(phase):
+            graph = build_graph(store, em)
+            phase(graph, store, em, WIGGLE)
+            return {
+                (e.v, e.w): (e.shadow, tuple(e.orders)) for e in graph.edges()
+            }
+
+        if run(chaining_phase_device) != run(chaining_phase):
+            return "chaining device (f32) diverged from host f64 oracle"
+        return "ok"
+    except Exception as exc:  # pragma: no cover
+        return f"parity check crashed: {exc!r}"
+
+
 def _bench_chain_dp(latency: float) -> float:
     """Anchor-pairs/s for the chaining DP on the active backend (the
     Pallas fused scan on TPU, XLA scan elsewhere; identical results)."""
@@ -321,6 +388,10 @@ def main() -> None:
             f"{full_map_reads_per_s:.0f} reads/s (10kb reads, 1M-entry index)",
             file=sys.stderr,
         )
+
+    parity = _device_parity_check()
+    print(f"[bench] device parity (mapping + f32 chaining vs host oracle): "
+          f"{parity}", file=sys.stderr)
 
     # secondary: banded wavefront (opt-in — the Pallas remote Mosaic
     # compile can take ~10 min through the tunnel; watchdogged subprocess)

@@ -166,6 +166,18 @@ def _run_parallel_assembly(ctx, contain_elements, digs, tasks, n_workers):
         _ASM_STATE = None
 
 
+def _backend_is_cpu() -> bool:
+    """Local-CPU jax compiles are cheap, so the size gate on the device
+    chaining path only applies to real accelerators (where compilation
+    happens behind the remote tunnel)."""
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "cpu"
+    except Exception:
+        return False
+
+
 def assemble(
     paf_path: str | Path,
     unitigs_path: str | Path,
@@ -223,8 +235,16 @@ def assemble(
 
     from muchsalsa_tpu.utils.timing import jax_profile
 
+    # per-size hybrid placement: 2*edges upper-bounds the (edge, strand)
+    # problem count; tiny runs stay on the host oracle (accelerator
+    # compile dominates below config.device.chain_device_min_problems)
+    chain_on_device = config.device.use_device and (
+        2 * graph.size >= config.device.chain_device_min_problems
+        or _backend_is_cpu()
+    )
+    timer.count("chaining_on_device", int(chain_on_device))
     with timer.stage("chaining"), debug_ctx, jax_profile(profile_dir):
-        if config.device.use_device:
+        if chain_on_device:
             from muchsalsa_tpu.ops.chaining_jax import chaining_phase_device
 
             chaining_phase_device(

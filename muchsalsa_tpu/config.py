@@ -110,6 +110,12 @@ class DeviceConfig:
     # Minimum number of edges before shipping a bucket to the device
     # (below this the host oracle is faster than dispatch overhead).
     min_device_batch: int = 32
+    # Minimum total chaining problems (edge x strand classes) before the
+    # whole chaining phase runs on the device: below this the one-time
+    # accelerator compile dominates any compute win (measured at E. coli
+    # scale, BASELINE.md round 2) — the same per-size hybrid reasoning
+    # as the reference's 150000-order heuristic switch (lg.cpp:362-366).
+    chain_device_min_problems: int = 200_000
     # Data-parallel mesh axis name for read streaming.
     data_axis: str = "reads"
     use_device: bool = True

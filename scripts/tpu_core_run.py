@@ -13,9 +13,15 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
 from pathlib import Path
+
+# persistent compile cache: without it every jit recompiles through the
+# remote tunnel (~30-60s each) and the timing measures the compiler
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 import numpy as np
 
