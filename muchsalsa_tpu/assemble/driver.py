@@ -111,36 +111,73 @@ def chaining_phase(
         edge.orders.extend(orders)
 
 
-# sentinel substituted for the global assembly index inside worker
-# processes; NUL never occurs in sequence data or record names
-_ASM_PLACEHOLDER = "\x00IDX\x00"
 _ASM_STATE: dict | None = None
+# per-WORKER cache of post-linearization digraphs (component idx -> dig)
+_WORKER_DIGS: dict = {}
 
 
-def _assembly_worker_count(workers: int | None, n_paths: int) -> int:
-    if n_paths <= 1:
+def _assembly_worker_count(workers: int | None, n_components: int) -> int:
+    import os as _os
+
+    if n_components < 1:
         return 1
+    env = _os.environ.get("MS_TPU_ASSEMBLY_WORKERS")
+    if env is not None:
+        return max(1, int(env))
     if workers is None:
-        import os as _os
-
         workers = _os.cpu_count() or 1
-    return max(1, min(workers, n_paths))
+    return max(1, workers)
 
 
-def _assemble_path_buffered(task_idx: int):
-    """Pool worker: run one path's consensus into in-memory buffers.
-
-    State arrives via the fork-inherited ``_ASM_STATE`` global (the
-    match tables and digraphs are large; copy-on-write beats pickling).
-    """
+def _component_dig_and_paths(comp_idx: int):
+    """Build (and cache) a component's post-linearization digraph."""
     st = _ASM_STATE
-    di, path = st["tasks"][task_idx]
-    consensus.reset_fallback_counts()
-    bw = BufferedOutputWriter()
-    assemble_path(
-        st["ctx"], {}, st["contain"], path, st["digs"][di], _ASM_PLACEHOLDER, bw
+    graph = st["graph"]
+    lcfg = st["lcfg"]
+    sub = graph.subgraph(st["components"][comp_idx])
+    start = pick_start_vertex(sub)
+    if start is None:
+        return None, []
+    dig = get_directed_graph(graph, sub, start)
+    paths = linearize_graph(
+        dig,
+        lcfg.cluster_weight_exact_max_order,
+        lcfg.path_min_length,
+        lcfg.path_min_length_touching,
+        lcfg.join_max_distance,
     )
-    return (*bw.texts(), dict(consensus.FALLBACK_COUNTS))
+    _WORKER_DIGS[comp_idx] = (dig, paths)
+    return dig, paths
+
+
+def _linearize_component(comp_idx: int):
+    """Pool phase A: orientation + linearization of one component;
+    returns the (small) path lists, keeps the digraph worker-local."""
+    _, paths = _component_dig_and_paths(comp_idx)
+    return paths
+
+
+def _assemble_component_buffered(task):
+    """Pool phase B: consensus of ALL of one component's paths into
+    in-memory buffers.
+
+    The worker reuses its phase-A digraph when it has one for this
+    component, otherwise deterministically rebuilds it once
+    (linearization is a pure function of the shared graph, so the
+    rebuilt digraph is identical).  Final assembly indices are fixed
+    before the fan-out.
+    """
+    comp_idx, indexed_paths = task
+    st = _ASM_STATE
+    cached = _WORKER_DIGS.get(comp_idx)
+    dig = cached[0] if cached else _component_dig_and_paths(comp_idx)[0]
+    consensus.reset_fallback_counts()
+    out = []
+    for asm_idx, path in indexed_paths:
+        bw = BufferedOutputWriter()
+        assemble_path(st["ctx"], {}, st["contain"], path, dig, asm_idx, bw)
+        out.append((asm_idx, *bw.texts()))
+    return out, dict(consensus.FALLBACK_COUNTS)
 
 
 def _asm_pool_init() -> None:
@@ -150,18 +187,66 @@ def _asm_pool_init() -> None:
     import atexit
 
     atexit._clear()
+    _WORKER_DIGS.clear()
 
 
-def _run_parallel_assembly(ctx, contain_elements, digs, tasks, n_workers):
+def _run_parallel_assembly(
+    ctx, contain_elements, graph, components, lcfg, n_workers, writer
+) -> int:
+    """Two pool phases mirroring the reference's job-per-component +
+    subjob-per-path fan-out (src/main.cpp:303-310, 645-657): A)
+    orientation+linearization per component (returns path lists), B)
+    consensus per path (returns output buffers, written in path order —
+    byte-identical to the sequential loop)."""
     import multiprocessing
+    import warnings
 
     global _ASM_STATE
-    _ASM_STATE = {"ctx": ctx, "contain": contain_elements, "digs": digs, "tasks": tasks}
+    _ASM_STATE = {
+        "ctx": ctx, "contain": contain_elements, "graph": graph,
+        "components": components, "lcfg": lcfg,
+    }
     try:
         mp_ctx = multiprocessing.get_context("fork")
-        with mp_ctx.Pool(n_workers, initializer=_asm_pool_init) as pool:
-            # chunksize=1: paths vary wildly in size; order is preserved
-            return pool.map(_assemble_path_buffered, range(len(tasks)), chunksize=1)
+        with warnings.catch_warnings():
+            # CPython warns that fork + jax's threads may deadlock; the
+            # workers are pure Python and never touch jax (atexit is
+            # cleared in the initializer), so the fork is safe here
+            warnings.filterwarnings(
+                "ignore", message=".*fork.*", category=RuntimeWarning)
+            pool = mp_ctx.Pool(n_workers, initializer=_asm_pool_init)
+        with pool:
+            per_comp = pool.map(
+                _linearize_component, range(len(components)), chunksize=1)
+            tasks = []
+            asm_idx = -1
+            for comp_idx, paths in enumerate(per_comp):
+                indexed = []
+                for path in paths:
+                    asm_idx += 1
+                    indexed.append((asm_idx, path))
+                if indexed:
+                    tasks.append((comp_idx, indexed))
+            # heaviest components first: the largest sets the critical path
+            order = sorted(
+                range(len(tasks)),
+                key=lambda i: -sum(len(p) for _a, p in tasks[i][1]))
+            results = pool.map(
+                _assemble_component_buffered, [tasks[i] for i in order],
+                chunksize=1)
+        n_paths = asm_idx + 1
+        by_idx = {}
+        for out, counts in results:
+            for a_idx, q, p, t in out:
+                by_idx[a_idx] = (q, p, t)
+            for name, value in counts.items():
+                consensus.FALLBACK_COUNTS[name] += value
+        for i in range(n_paths):
+            q, p, t = by_idx[i]
+            writer.write_query(q)
+            writer.write_paf(p)
+            writer.write_target(t)
+        return n_paths
     finally:
         _ASM_STATE = None
 
@@ -303,49 +388,39 @@ def assemble(
         )
         components = spanning.connected_components(graph)
         lcfg = config.linearize
-        # per-component orientation + linearization (deterministic order)
-        digs: list = []
-        tasks: list[tuple[int, list[int]]] = []
-        for component in components:
-            sub = graph.subgraph(component)
-            start = pick_start_vertex(sub)
-            if start is None:
-                continue
-            dig = get_directed_graph(graph, sub, start)
-            paths = linearize_graph(
-                dig,
-                lcfg.cluster_weight_exact_max_order,
-                lcfg.path_min_length,
-                lcfg.path_min_length_touching,
-                lcfg.join_max_distance,
-            )
-            di = len(digs)
-            digs.append(dig)
-            tasks.extend((di, path) for path in paths)
-        n_paths = len(tasks)
-
-        # per-path consensus fan-out, mirroring the reference's
-        # job-per-component + subjob-per-path structure
-        # (src/main.cpp:303-310, 645-657); output stays byte-identical
-        # because buffers are written back in path order
-        n_workers = _assembly_worker_count(workers, n_paths)
+        n_workers = _assembly_worker_count(workers, len(components))
         if n_workers > 1:
-            results = _run_parallel_assembly(
-                ctx, contain_elements, digs, tasks, n_workers
+            n_paths = _run_parallel_assembly(
+                ctx, contain_elements, graph, components, lcfg, n_workers,
+                writer,
             )
-            for asm_idx, (q, p, t, counts) in enumerate(results):
-                tok = str(asm_idx)
-                writer.write_query(q.replace(_ASM_PLACEHOLDER, tok))
-                writer.write_paf(p.replace(_ASM_PLACEHOLDER, tok))
-                writer.write_target(t.replace(_ASM_PLACEHOLDER, tok))
-                for name, value in counts.items():
-                    consensus.FALLBACK_COUNTS[name] += value
         else:
-            for asm_idx, (di, path) in enumerate(tasks):
-                id2overlap: dict = {}
-                assemble_path(
-                    ctx, id2overlap, contain_elements, path, digs[di], asm_idx, writer
+            # sequential: per-component orientation + linearization, then
+            # per-path consensus — the reference's processing order
+            # (src/main.cpp:303-310, 645-657)
+            asm_idx = -1
+            n_paths = 0
+            for component in components:
+                sub = graph.subgraph(component)
+                start = pick_start_vertex(sub)
+                if start is None:
+                    continue
+                dig = get_directed_graph(graph, sub, start)
+                paths = linearize_graph(
+                    dig,
+                    lcfg.cluster_weight_exact_max_order,
+                    lcfg.path_min_length,
+                    lcfg.path_min_length_touching,
+                    lcfg.join_max_distance,
                 )
+                for path in paths:
+                    asm_idx += 1
+                    n_paths += 1
+                    id2overlap: dict = {}
+                    assemble_path(
+                        ctx, id2overlap, contain_elements, path, dig, asm_idx,
+                        writer,
+                    )
         writer.close()
     timer.count("assembly_workers", n_workers)
     timer.count("components", len(components))

@@ -1,0 +1,82 @@
+"""E. coli-scale read->unitig mapping ON THE DEVICE with a real index.
+
+Complements bench.py's synthetic-index figure: builds a MinimizerIndex
+from simulated unitigs, maps every read through
+``pipeline.mapper.map_all_with_device`` (v2 packed-row join), asserts
+the PAF equals the host path, and reports reads/s on the device
+(steady-state, excluding index build and the one-time remote compile).
+
+Usage: python scripts/tpu_map_run.py [genome_mb=4.6] [coverage=15]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+import numpy as np
+
+
+def main() -> None:
+    genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 4.6
+    coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
+
+    import jax
+
+    print(f"[tpu_map] backend: {jax.devices()}", flush=True)
+
+    from muchsalsa_tpu.config import MapperConfig
+    from muchsalsa_tpu.io.fasta import SequenceStore
+    from muchsalsa_tpu.pipeline.mapper import (
+        MinimizerIndex, map_all, map_all_with_device)
+    from muchsalsa_tpu.testing.simulate import add_noise, simulate
+
+    rng = np.random.default_rng(20260819)
+    sim = simulate(
+        rng, genome_length=int(genome_mb * 1e6), coverage=coverage,
+        read_length=9_000, unitig_length=1_000, unitig_gap=300)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    reads = SequenceStore()
+    for name, seq in sim.read_records():
+        reads.add(name, add_noise(rng, seq, 0.05))
+    n_reads = len(list(reads.ids()))
+
+    cfg = MapperConfig()
+    t0 = time.perf_counter()
+    index = MinimizerIndex.build(unitigs, cfg)
+    print(f"[tpu_map] index: {len(index.hashes)} hashes, "
+          f"{len(index.entry_pos)} entries in {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    host = map_all(index, reads, cfg)
+    host_s = time.perf_counter() - t0
+    print(f"[tpu_map] host map_all: {host_s:.1f}s "
+          f"({n_reads/host_s:.0f} reads/s)", flush=True)
+
+    # first device pass: includes the one-time remote compile
+    t0 = time.perf_counter()
+    dev = map_all(index, reads, cfg, device=True)
+    cold_s = time.perf_counter() - t0
+    print(f"[tpu_map] device map_all (cold, incl. compile): {cold_s:.1f}s",
+          flush=True)
+    assert dev == host, "device PAF diverged from host"
+    print("[tpu_map] PARITY: PASS (device PAF == host PAF)", flush=True)
+
+    # steady state: compile is cached in-process now
+    t0 = time.perf_counter()
+    dev2 = map_all(index, reads, cfg, device=True)
+    warm_s = time.perf_counter() - t0
+    assert dev2 == host
+    print(f"[tpu_map] device map_all (warm): {warm_s:.1f}s "
+          f"({n_reads/warm_s:.0f} reads/s, {host_s/warm_s:.1f}x host)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
