@@ -58,18 +58,27 @@ def _pair_indices(group_sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return base + inner_local, base + outer_local
 
 
+def _empty_edges() -> EdgeMatches:
+    z32 = np.zeros(0, dtype=np.int32)
+    z64 = np.zeros(0, dtype=np.int64)
+    zb = np.zeros(0, dtype=bool)
+    return EdgeMatches(z32, z32, z32, z32, z32, z32, zb, np.zeros(0), zb, z64)
+
+
+def _scaffold_groups(store: MatchStore):
+    """Stable (illu, line)-sorted row order + group sizes per scaffold."""
+    order = np.lexsort((store.line, store.illu_id))
+    _ids, group_sizes = np.unique(store.illu_id[order], return_counts=True)
+    return order, group_sizes
+
+
 def build_edges(store: MatchStore, th_overlap: int = 100) -> EdgeMatches:
     n = len(store)
     if n == 0:
-        z32 = np.zeros(0, dtype=np.int32)
-        z64 = np.zeros(0, dtype=np.int64)
-        zb = np.zeros(0, dtype=bool)
-        return EdgeMatches(z32, z32, z32, z32, z32, z32, zb, np.zeros(0), zb, z64)
+        return _empty_edges()
 
     # scaffold grouping: stable sort match rows by (illu, line)
-    order = np.lexsort((store.line, store.illu_id))
-    illu = store.illu_id[order]
-    group_ids, group_sizes = np.unique(illu, return_counts=True)
+    order, group_sizes = _scaffold_groups(store)
 
     inner, outer = _pair_indices(group_sizes)
     ri = order[inner]   # inner match rows (earlier line)
@@ -79,7 +88,12 @@ def build_edges(store: MatchStore, th_overlap: int = 100) -> EdgeMatches:
     ov_end = np.minimum(store.illu_end[ro], store.illu_end[ri])
     keep = (ov_start <= ov_end) & ((ov_end - ov_start) > th_overlap)
     ri, ro, ov_start, ov_end = ri[keep], ro[keep], ov_start[keep], ov_end[keep]
+    return _finish_edges(store, ri, ro, ov_start, ov_end)
 
+
+def _finish_edges(store: MatchStore, ri, ro, ov_start, ov_end) -> EdgeMatches:
+    """Shared tail: EdgeMatch fields + canonical edge table from the
+    surviving (inner, outer) pair rows (MatchMap.cpp:196-218)."""
     common = (ov_end - ov_start + 1).astype(np.float64)
     len_o = (store.illu_end[ro] - store.illu_start[ro] + 1).astype(np.float64)
     len_i = (store.illu_end[ri] - store.illu_start[ri] + 1).astype(np.float64)
