@@ -108,3 +108,29 @@ def test_assemble_parallel_matches_sequential(tmp_path):
         assert r2["timer"].counters["assembly_workers"] > 1
     for fname in ("temp_1.target.fa", "temp_1.query.fa", "temp_1.align.paf"):
         assert (seq_out / fname).read_bytes() == (par_out / fname).read_bytes(), fname
+
+
+def test_assemble_heuristic_cluster_weights(tmp_path):
+    """Force the >=150000-order heuristic cluster-weight path
+    (lg.cpp:362-366 switch) end to end: contigs must still be genomic,
+    matching the reference's behavior at scale."""
+    import dataclasses
+
+    from muchsalsa_tpu.config import Config
+
+    rng = np.random.default_rng(23)
+    sim = simulate(rng, genome_length=30_000, coverage=9.0, both_strands=True)
+    paths = write_simulation(sim, tmp_path / "data")
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, linearize=dataclasses.replace(
+            cfg.linearize, cluster_weight_exact_max_order=1))
+    outdir = tmp_path / "out"
+    result = assemble(paths["paf"], paths["unitigs"], paths["reads"], outdir,
+                      cfg)
+    assert result["paths"] >= 1
+    contigs = read_contigs(outdir / "temp_1.target.fa")
+    assert contigs
+    for name, contig in contigs.items():
+        assert kmer_hit_fraction(contig, sim.genome) > 0.85, name
