@@ -250,9 +250,11 @@ def _device_parity_check() -> str:
             MinimizerIndex, map_all, map_all_with_device)
         from muchsalsa_tpu.testing.simulate import add_noise, simulate
 
+        from muchsalsa_tpu.pipeline.mapper import map_all_with_device, map_read
+
         rng = _np.random.default_rng(20260819)
         sim = simulate(rng, genome_length=60_000, coverage=5.0,
-                       read_length=5_000)
+                       read_length=3_000)
         unitigs = SequenceStore()
         for name, seq in sim.unitig_records():
             unitigs.add(name, seq)
@@ -263,10 +265,18 @@ def _device_parity_check() -> str:
             reads.add(name, add_noise(rng, seq, 0.05))
         cfg = MapperConfig()
         index = MinimizerIndex.build(unitigs, cfg)
-        host = map_all(index, reads, cfg)
-        dev = map_all(index, reads, cfg, device=True)
-        if dev != host:
-            return f"mapping device/host diverged ({len(dev)} vs {len(host)} rows)"
+        # small static budgets: wide (max_pos*A) anchor tables compile
+        # pathologically slowly through the remote tunnel (BASELINE.md)
+        dev = map_all_with_device(index, reads, cfg,
+                                  max_pos=2048, max_per_hit=4)
+        n_dev_reads = 0
+        for rid, maps in dev:
+            host = map_read(index, reads.sequence(rid), cfg)
+            if maps != host:
+                return f"mapping device/host diverged on read {rid}"
+            n_dev_reads += 1
+        if n_dev_reads == 0:
+            return "mapping parity check had no reads"
 
         # chaining: the on-device (f32 on TPU) batched DP vs the exact
         # host f64 oracle, end to end through the graph phase
