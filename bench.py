@@ -254,7 +254,7 @@ def _device_parity_check() -> str:
 
         rng = _np.random.default_rng(20260819)
         sim = simulate(rng, genome_length=60_000, coverage=5.0,
-                       read_length=3_000)
+                       read_length=2_000)
         unitigs = SequenceStore()
         for name, seq in sim.unitig_records():
             unitigs.add(name, seq)
@@ -268,7 +268,7 @@ def _device_parity_check() -> str:
         # small static budgets: wide (max_pos*A) anchor tables compile
         # pathologically slowly through the remote tunnel (BASELINE.md)
         dev = map_all_with_device(index, reads, cfg,
-                                  max_pos=2048, max_per_hit=4)
+                                  max_pos=1024, max_per_hit=4)
         n_dev_reads = 0
         for rid, maps in dev:
             host = map_read(index, reads.sequence(rid), cfg)
