@@ -23,6 +23,8 @@ import numpy as np
 def main() -> None:
     genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 4.6
     coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
+    max_pos = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+    max_per_hit = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
     import jax
 
@@ -60,6 +62,14 @@ def main() -> None:
           f"({n_reads/host_s:.0f} reads/s)", flush=True)
 
     # first device pass: includes the one-time remote compile
+    import muchsalsa_tpu.pipeline.mapper as _mapper
+    _orig = _mapper.map_all_with_device
+    def _capped(index, reads, cfg, **kw):
+        kw.update(max_pos=max_pos, max_per_hit=max_per_hit)
+        return _orig(index, reads, cfg, **kw)
+    _mapper.map_all_with_device = _capped
+    print(f"[tpu_map] device budgets: max_pos={max_pos} max_per_hit={max_per_hit}",
+          flush=True)
     t0 = time.perf_counter()
     dev = map_all(index, reads, cfg, device=True)
     cold_s = time.perf_counter() - t0
