@@ -65,6 +65,21 @@ class EdgeContext:
             self.__dict__["_em_lut"] = lut
         return lut.get(illu, len(self.illu_ids))
 
+    def illu_list(self) -> list[int]:
+        """illu_ids as a python list (scalar indexing ~10x numpy's)."""
+        out = self.__dict__.get("_illu_list")
+        if out is None:
+            out = [int(x) for x in self.illu_ids]
+            self.__dict__["_illu_list"] = out
+        return out
+
+    def primary_list(self) -> list[bool]:
+        out = self.__dict__.get("_primary_list")
+        if out is None:
+            out = [bool(x) for x in self.em_primary]
+            self.__dict__["_primary_list"] = out
+        return out
+
     def all_ids_sorted(self, first_vertex: bool) -> list[int]:
         """All unitig ids of v (or w) sorted by (nano range, id) — the
         vIDsStart/vIDsEnd lists of the shadow-demotion scan
@@ -249,11 +264,14 @@ def finalize_paths(
             max_val = scores[i]
             max_idx = i
 
+    illu = ctx.illu_list()
+    primary = ctx.primary_list()
+
     def ids_of(path: list[int]) -> list[int]:
-        return [int(ctx.illu_ids[srows[p]]) for p in path]
+        return [illu[srows[p]] for p in path]
 
     best_ids = ids_of(paths[max_idx])
-    has_primary = any(ctx.em_primary[srows[p]] for p in paths[max_idx]) or len(paths[max_idx]) > 2
+    has_primary = any(primary[srows[p]] for p in paths[max_idx]) or len(paths[max_idx]) > 2
     # scores truncate double -> size_t on emplacement (path_t, mpp.cpp:34);
     # the 75% threshold is computed from the *untruncated* double
     result = [ChainResult(best_ids, int(max_val), bool(has_primary))]
@@ -270,7 +288,7 @@ def finalize_paths(
                     ChainResult(
                         member_ids,
                         int(scores[i]),
-                        bool(any(ctx.em_primary[srows[p]] for p in paths[i])),
+                        any(primary[srows[p]] for p in paths[i]),
                     )
                 )
 
