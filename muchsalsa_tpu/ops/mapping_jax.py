@@ -561,3 +561,63 @@ def map_reads_device_v2(
         key, diag, aq, at, k, bandwidth, min_anchor_count, min_chain_score,
         max_hits, overflow,
     )
+
+
+# ---------------------------------------------------------------------------
+# packed transfer: 2-bit base codes + non-ACGT bitmask
+#
+# The production entry (pipeline/mapper.py::map_all_with_device) runs on a
+# tunnel-attached TPU where host->device bandwidth, not compute, bounds the
+# warm pass (BASELINE.md: ~126 MB of uint8 codes per E. coli-scale run).
+# Packing each base to 2 bits plus a 1-bit "other/pad" mask ships 0.375
+# bytes/base instead of 1 — the unpack is a handful of VPU shifts inside the
+# same jit, and results stay bit-identical (pad positions decode back to the
+# sentinel 4 consumed by minimizer_sketch, ops/minimizer_jax.py:51).
+
+
+def pack_codes(codes):
+    """Host-side pack of (R, L) uint8 base codes (A..T=0..3, other/pad=4)
+    into (packed, nmask): 16 bases per uint32 word + 32 mask bits per
+    uint32 word.  Requires L % 32 == 0 (length buckets are powers of two
+    >= 1024, pipeline/mapper.py::bucket_len)."""
+    import numpy as _np
+
+    R, L = codes.shape
+    if L % 32:
+        raise ValueError("pack_codes needs L % 32 == 0")
+    c = codes.astype(_np.uint32)
+    two = (c & 3).reshape(R, L // 16, 16)
+    packed = _np.bitwise_or.reduce(
+        two << (_np.arange(16, dtype=_np.uint32) * 2), axis=2)
+    nbits = (c >= 4).astype(_np.uint32).reshape(R, L // 32, 32)
+    nmask = _np.bitwise_or.reduce(
+        nbits << _np.arange(32, dtype=_np.uint32), axis=2)
+    return packed, nmask
+
+
+def unpack_codes(packed, nmask):
+    """Device-side inverse of :func:`pack_codes` -> (R, L) uint8 codes."""
+    R, W = packed.shape
+    L = W * 16
+    sh2 = jnp.arange(16, dtype=jnp.uint32) * 2
+    codes = ((packed[:, :, None] >> sh2) & 3).astype(jnp.uint8).reshape(R, L)
+    sh1 = jnp.arange(32, dtype=jnp.uint32)
+    other = (((nmask[:, :, None] >> sh1) & 1) != 0).reshape(R, L)
+    return jnp.where(other, jnp.uint8(4), codes)
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "w", "bandwidth", "min_anchor_count", "min_chain_score",
+    "max_sel", "max_pos", "max_per_hit", "max_hits", "hash_takes"))
+def map_reads_device_v2_packed(
+    packed: jnp.ndarray,       # (R, L//16) uint32 from pack_codes
+    nmask: jnp.ndarray,        # (R, L//32) uint32 from pack_codes
+    lens: jnp.ndarray,         # (R,)
+    rp: jnp.ndarray,
+    jrows: jnp.ndarray,
+    erows: jnp.ndarray,
+    **kwargs,
+):
+    """:func:`map_reads_device_v2` over tunnel-packed read codes."""
+    return map_reads_device_v2(
+        unpack_codes(packed, nmask), lens, rp, jrows, erows, **kwargs)

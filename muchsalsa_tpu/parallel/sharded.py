@@ -157,6 +157,44 @@ def sharded_map_reads_v2(
     return jax.jit(step)(codes, lens, tables.rp, tables.jrows, tables.erows)
 
 
+def sharded_map_reads_v2_packed(
+    packed,
+    nmask,
+    lens,
+    tables,
+    mesh: Mesh,
+    axis: str = "reads",
+    **kwargs,
+):
+    """:func:`sharded_map_reads_v2` over tunnel-packed read codes
+    (``ops.mapping_jax.pack_codes``): the 2-bit words shard over the
+    mesh like the codes they encode; unpack runs per-shard on device."""
+    from muchsalsa_tpu.ops.mapping_jax import map_reads_device_v2, unpack_codes
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+        out_specs=({k: P(axis) for k in (
+            "unitig", "strand", "qs", "qe", "ts", "te", "matches",
+            "n_anchors", "n_hits", "overflow")}, P()),
+    )
+    def step(local_packed, local_nmask, local_lens, rp, jrows, erows):
+        out = map_reads_device_v2(
+            unpack_codes(local_packed, local_nmask), local_lens,
+            rp, jrows, erows, **kwargs)
+        stats = jnp.stack(
+            [
+                jnp.sum((out["n_hits"] > 0).astype(jnp.float32)),
+                jnp.sum(out["n_hits"].astype(jnp.float32)),
+            ]
+        )
+        return out, jax.lax.psum(stats, axis)
+
+    return jax.jit(step)(
+        packed, nmask, lens, tables.rp, tables.jrows, tables.erows)
+
+
 def sharded_myers(
     q_codes, q_lens, t_codes, t_lens, mesh: Mesh, axis: str = "reads"
 ):
