@@ -598,6 +598,10 @@ def pack_codes(codes):
 def unpack_codes(packed, nmask):
     """Device-side inverse of :func:`pack_codes` -> (R, L) uint8 codes."""
     R, W = packed.shape
+    if nmask.shape != (R, W // 2):
+        raise ValueError(
+            f"mismatched pack pair: packed {packed.shape} needs nmask "
+            f"{(R, W // 2)}, got {nmask.shape}")
     L = W * 16
     sh2 = jnp.arange(16, dtype=jnp.uint32) * 2
     codes = ((packed[:, :, None] >> sh2) & 3).astype(jnp.uint8).reshape(R, L)

@@ -325,6 +325,11 @@ def map_batch(
 
 _POOL_STATE: dict = {}
 
+# observability for the device-mapping placement decision: updated on
+# every map_all_with_device call so pipeline stage counters (and tests)
+# can assert the mesh actually engaged (SURVEY.md §5 metrics row)
+DEVICE_MAP_STATS: dict = {}
+
 
 def _pool_map_one(args):
     rid, seq = args
@@ -412,7 +417,7 @@ def map_all_with_device(
 
     from muchsalsa_tpu.ops.mapping_jax import (
         build_device_tables, build_join_tables, map_reads_device,
-        map_reads_device_v2)
+        map_reads_device_v2_packed, pack_codes)
 
     items = list(reads.items())
     if not items:
@@ -424,10 +429,17 @@ def map_all_with_device(
             index.entry_strand)
     devices = jax.devices()
     mesh = None
-    if built is not None and len(devices) > 1 and batch_reads % len(devices) == 0:
+    if built is not None and len(devices) > 1:
         from jax.sharding import Mesh
 
+        # round the batch up so it shards evenly — never silently drop
+        # to one device (the pad rows have len 0 -> no hits, no cost)
+        D = len(devices)
+        batch_reads = -(-batch_reads // D) * D
         mesh = Mesh(np.array(devices), ("reads",))
+    DEVICE_MAP_STATS.update(
+        n_devices=len(devices), meshed=mesh is not None,
+        batch_reads=batch_reads, v2=built is not None)
     if built is not None:
         tables, hash_takes = built
     else:
@@ -470,14 +482,21 @@ def map_all_with_device(
                 max_pos=max_pos, max_per_hit=max_per_hit, max_hits=max_hits,
             )
             if built is not None and mesh is not None:
-                from muchsalsa_tpu.parallel.sharded import sharded_map_reads_v2
+                from muchsalsa_tpu.parallel.sharded import (
+                    sharded_map_reads_v2_packed)
 
-                out, _stats = sharded_map_reads_v2(
-                    jnp.asarray(codes), jnp.asarray(lens), tables, mesh,
+                packed, nmask = pack_codes(codes)
+                out, _stats = sharded_map_reads_v2_packed(
+                    jnp.asarray(packed), jnp.asarray(nmask),
+                    jnp.asarray(lens), tables, mesh,
                     hash_takes=hash_takes, **kw)
             elif built is not None:
-                out = map_reads_device_v2(
-                    jnp.asarray(codes), jnp.asarray(lens),
+                # 2-bit pack (0.375 bytes/base) — the h2d transfer, not
+                # compute, bounds the warm pass on a tunnel-attached TPU
+                packed, nmask = pack_codes(codes)
+                out = map_reads_device_v2_packed(
+                    jnp.asarray(packed), jnp.asarray(nmask),
+                    jnp.asarray(lens),
                     tables.rp, tables.jrows, tables.erows,
                     hash_takes=hash_takes, **kw)
             else:

@@ -358,3 +358,95 @@ def test_device_mapper_v2_matches_v1():
     for key in ("unitig", "strand", "qs", "qe", "ts", "te", "matches",
                 "n_anchors", "n_hits"):
         np.testing.assert_array_equal(v1[key], v2[key], err_msg=key)
+
+
+def test_pack_codes_roundtrip():
+    """2-bit tunnel pack: bit-exact round trip for codes in {0..4} with
+    padded tails, plus the shape guards (ADVICE r2)."""
+    import pytest
+
+    from muchsalsa_tpu.ops.mapping_jax import pack_codes, unpack_codes
+
+    rng = np.random.default_rng(48)
+    R, L = 7, 1024
+    codes = np.full((R, L), 4, dtype=np.uint8)
+    for i in range(R):
+        n = int(rng.integers(1, L))
+        codes[i, :n] = rng.integers(0, 5, n)  # includes in-read N (=4)
+    packed, nmask = pack_codes(codes)
+    out = np.asarray(unpack_codes(jnp.asarray(packed), jnp.asarray(nmask)))
+    np.testing.assert_array_equal(out, codes)
+
+    with pytest.raises(ValueError):
+        pack_codes(codes[:, : L - 8])  # L % 32 != 0
+    with pytest.raises(ValueError):
+        unpack_codes(jnp.asarray(packed), jnp.asarray(nmask[:, :-1]))
+
+
+def test_device_mapper_v2_packed_matches_unpacked():
+    """map_reads_device_v2_packed == map_reads_device_v2 on a real batch."""
+    from muchsalsa_tpu.ops.mapping_jax import (
+        build_device_tables, map_reads_device_v2, map_reads_device_v2_packed,
+        pack_codes)
+
+    rng = np.random.default_rng(49)
+    sim = simulate(rng, genome_length=20_000, coverage=4.0, read_length=3_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    seqs = [add_noise(rng, seq, 0.05) for _, seq in sim.read_records()]
+
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+    tables, hash_takes = build_device_tables(
+        index.hashes, index.offsets, index.entry_unitig, index.entry_pos,
+        index.entry_strand)
+    L = 4096
+    codes, lens = _pack_reads(seqs, L)
+    kw = dict(k=cfg.k, w=cfg.w, bandwidth=cfg.bandwidth,
+              min_anchor_count=cfg.min_anchor_count,
+              min_chain_score=cfg.min_chain_score,
+              hash_takes=hash_takes, max_pos=1024, max_per_hit=4)
+    ref = map_reads_device_v2(
+        codes, lens, tables.rp, tables.jrows, tables.erows, **kw)
+    packed, nmask = pack_codes(np.asarray(codes))
+    out = map_reads_device_v2_packed(
+        jnp.asarray(packed), jnp.asarray(nmask), lens,
+        tables.rp, tables.jrows, tables.erows, **kw)
+    for key in ref:
+        np.testing.assert_array_equal(
+            np.asarray(ref[key]), np.asarray(out[key]), err_msg=key)
+
+
+def test_map_all_with_device_meshes_nondivisible(monkeypatch):
+    """3 attached devices with a non-divisible batch: the batch pads up
+    and the meshed path still engages (no silent single-device fallback,
+    VERDICT r2 item 9), output equal to the host mapper."""
+    import jax
+
+    from muchsalsa_tpu.pipeline import mapper as mapper_mod
+    from muchsalsa_tpu.pipeline.mapper import DEVICE_MAP_STATS, map_all
+
+    real_devices = jax.devices()
+    assert len(real_devices) >= 3
+    monkeypatch.setattr(
+        mapper_mod.jax if hasattr(mapper_mod, "jax") else jax, "devices",
+        lambda *a, **k: real_devices[:3])
+
+    rng = np.random.default_rng(50)
+    sim = simulate(rng, genome_length=15_000, coverage=4.0, read_length=2_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    reads = SequenceStore()
+    for name, seq in sim.read_records():
+        reads.add(name, add_noise(rng, seq, 0.05))
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+
+    host = map_all(index, reads, cfg)
+    dev = map_all(index, reads, cfg, device=True)
+    assert dev == host
+    assert DEVICE_MAP_STATS["meshed"] is True
+    assert DEVICE_MAP_STATS["n_devices"] == 3
+    assert DEVICE_MAP_STATS["batch_reads"] % 3 == 0
