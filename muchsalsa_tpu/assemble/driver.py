@@ -263,6 +263,24 @@ def _backend_is_cpu() -> bool:
         return False
 
 
+def _driver_mesh(config: Config):
+    """Data-parallel mesh over all attached devices (None when a single
+    device is attached) — the driver-side sizing that mirrors the
+    reference sizing its whole run by the thread pool (main.cpp:144)."""
+    if not config.device.use_device:
+        return None
+    try:
+        import jax
+
+        if len(jax.devices()) > 1:
+            from muchsalsa_tpu.parallel.mesh import make_mesh
+
+            return make_mesh(axis=config.device.data_axis)
+    except Exception:
+        pass
+    return None
+
+
 def assemble(
     paf_path: str | Path,
     unitigs_path: str | Path,
@@ -306,8 +324,24 @@ def assemble(
         )
         store = MatchStore.from_paf(records)
 
+    mesh = _driver_mesh(config)
+    timer.count("mesh_devices", 0 if mesh is None else mesh.size)
+
+    # phase ② placement: large match tables run the all-pairs scaffold
+    # intersection on the device (sharded over the mesh when >1 device)
+    edges_on_device = config.device.use_device and (
+        len(store) >= config.device.edges_device_min_rows
+        or _backend_is_cpu()
+    )
+    timer.count("edges_on_device", int(edges_on_device))
     with timer.stage("edges"):
-        edge_matches = build_edges(store, gcfg.th_overlap)
+        if edges_on_device:
+            from muchsalsa_tpu.matching.edges_jax import build_edges_device
+
+            edge_matches = build_edges_device(
+                store, gcfg.th_overlap, mesh=mesh)
+        else:
+            edge_matches = build_edges(store, gcfg.th_overlap)
         graph = build_graph(store, edge_matches)
     timer.count("graph_order", graph.order)
     timer.count("graph_size", graph.size)
@@ -339,6 +373,7 @@ def assemble(
                 gcfg.wiggle_room,
                 config.device.chain_buckets,
                 config.device.min_device_batch,
+                mesh=mesh,
             )
         else:
             chaining_phase(graph, store, edge_matches, gcfg.wiggle_room)

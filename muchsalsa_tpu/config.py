@@ -116,6 +116,11 @@ class DeviceConfig:
     # scale, BASELINE.md round 2) — the same per-size hybrid reasoning
     # as the reference's 150000-order heuristic switch (lg.cpp:362-366).
     chain_device_min_problems: int = 200_000
+    # Minimum match-table rows before the scaffold all-pairs edge
+    # construction (phase ②) runs on the device — same per-size hybrid
+    # reasoning as chaining (the reference's second-hottest fan-out,
+    # MatchMap.cpp:161-224).
+    edges_device_min_rows: int = 500_000
     # Data-parallel mesh axis name for read streaming.
     data_axis: str = "reads"
     use_device: bool = True

@@ -183,6 +183,7 @@ def chaining_phase_device(
     wiggle_room: int,
     chain_buckets: tuple[int, ...] = (8, 16, 32, 64, 128),
     min_device_batch: int = 32,
+    mesh=None,
 ) -> None:
     """Device-batched variant of ``driver.chaining_phase``.
 
@@ -190,6 +191,11 @@ def chaining_phase_device(
     vectorised (one global lexsort + flat scatters).  Problems larger
     than the biggest bucket fall back to the oracle, as does any bucket
     smaller than ``min_device_batch``.
+
+    With ``mesh`` (>1 device) each bucket batch shards data-parallel
+    over the mesh's first axis via ``parallel.sharded.sharded_chain_dp``
+    — the SPMD mapping of the reference's job-per-edge fan-out
+    (main.cpp:170-178, SURVEY.md §2.5).
     """
     from muchsalsa_tpu.ops.chaining import GatheredMatches, max_pairwise_paths
     from muchsalsa_tpu.ops.overlap import get_overlap
@@ -246,6 +252,10 @@ def chaining_phase_device(
         # and every distinct (B, K) shape is a fresh (remote) compile
         nb = len(probs)
         B = 1 << int(nb - 1).bit_length() if nb > 1 else 1
+        n_mesh = 1
+        if mesh is not None:
+            n_mesh = int(np.prod(list(mesh.shape.values())))
+            B = -(-B // n_mesh) * n_mesh  # shard evenly over the mesh
         K = bucket
         sel_sizes = sizes[probs]
         total = int(sel_sizes.sum())
@@ -273,7 +283,14 @@ def chaining_phase_device(
         cls_dir = np.zeros(B, dtype=bool)
         cls_dir[:nb] = prob_dir[probs]
         batch["cls_dir"] = jnp.asarray(cls_dir)
-        if jax.devices()[0].platform == "tpu":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if mesh is not None and n_mesh > 1:
+            from muchsalsa_tpu.parallel.sharded import sharded_chain_dp
+
+            scores_dev, bps_dev, _stats = sharded_chain_dp(
+                batch, int(wiggle_room), mesh,
+                axis=mesh.axis_names[0], use_pallas=on_tpu)
+        elif on_tpu:
             scores_dev, bps_dev = chain_dp_batch_pallas(batch, int(wiggle_room))
         else:
             scores_dev, bps_dev = chain_dp_batch(batch, int(wiggle_room))

@@ -19,15 +19,22 @@ from jax import shard_map
 from muchsalsa_tpu.ops.chaining_jax import chain_dp_batch
 
 
-def sharded_chain_dp(batch: dict, wiggle_room: int, mesh: Mesh, axis: str = "reads"):
+def sharded_chain_dp(batch: dict, wiggle_room: int, mesh: Mesh, axis: str = "reads",
+                     use_pallas: bool = False):
     """Run the chaining DP data-parallel over the mesh.
 
     ``batch`` arrays are (B, K) with B divisible by the mesh size.
     Returns (scores, backptrs, stats) where ``stats`` is the globally
     psum-merged [n_problems, total_best_score] pair — the cross-chip
     reduction that replaces the reference's mutex-guarded accumulation.
+    ``use_pallas`` runs the fused Pallas scan per shard (TPU).
     """
     in_spec = {k: P(axis) if v.ndim >= 1 else P() for k, v in batch.items()}
+    kernel = chain_dp_batch
+    if use_pallas:
+        from muchsalsa_tpu.ops.chaining_jax import chain_dp_batch_pallas
+
+        kernel = chain_dp_batch_pallas
 
     @partial(
         shard_map,
@@ -36,7 +43,7 @@ def sharded_chain_dp(batch: dict, wiggle_room: int, mesh: Mesh, axis: str = "rea
         out_specs=(P(axis), P(axis), P()),
     )
     def step(local_batch):
-        scores, bps = chain_dp_batch(local_batch, wiggle_room)
+        scores, bps = kernel(local_batch, wiggle_room)
         best = jnp.max(jnp.where(local_batch["valid"], scores, 0.0), axis=1)
         local_stats = jnp.stack(
             [jnp.sum(jnp.any(local_batch["valid"], axis=1)).astype(best.dtype), jnp.sum(best)]

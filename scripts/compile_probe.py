@@ -1,0 +1,76 @@
+"""Measure the remote-compile cost of the device mapping jit vs shape.
+
+Round-2 BASELINE.md found a compile cliff: (256, 16384)-read jits with
+16384 anchor slots took 1728 s to compile through the axon tunnel and
+the 65536-slot shape never finished.  This probe isolates compile time
+(jit.lower().compile(), no execution) per (L, max_pos, max_per_hit)
+combo so the production mapper can be tiled under the cliff, and checks
+whether the persistent compilation cache (JAX_COMPILATION_CACHE_DIR)
+actually hits across processes on this backend.
+
+Usage: python scripts/compile_probe.py L MAX_POS MAX_PER_HIT [R=256]
+Prints one line: COMPILE L=.. S=.. seconds=..
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+import numpy as np
+
+
+def main() -> None:
+    L = int(sys.argv[1])
+    max_pos = int(sys.argv[2])
+    max_per_hit = int(sys.argv[3])
+    R = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+
+    import jax
+    import jax.numpy as jnp
+
+    from muchsalsa_tpu.ops.mapping_jax import (
+        build_device_tables, map_reads_device_v2_packed, pack_codes)
+
+    rng = np.random.default_rng(0)
+    E = 1 << 20
+    hashes = np.unique(np.sort(rng.integers(0, 1 << 32, E, dtype=np.uint32)))
+    H = len(hashes)
+    tables, hash_takes = build_device_tables(
+        hashes, np.arange(H + 1, dtype=np.int64),
+        rng.integers(0, 5000, H).astype(np.int32),
+        rng.integers(0, 1000, H).astype(np.int32),
+        rng.random(H) < 0.5,
+    )
+    codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+    lens = jnp.asarray(np.full(R, L, dtype=np.int32))
+    packed, nmask = pack_codes(codes)
+
+    kw = dict(k=15, w=5, bandwidth=2000, min_anchor_count=3,
+              min_chain_score=100, max_pos=max_pos,
+              max_per_hit=max_per_hit, hash_takes=hash_takes)
+    t0 = time.perf_counter()
+    lowered = map_reads_device_v2_packed.lower(
+        jnp.asarray(packed), jnp.asarray(nmask), lens,
+        tables.rp, tables.jrows, tables.erows, **kw)
+    t_lower = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = compiled(jnp.asarray(packed), jnp.asarray(nmask), lens,
+                   tables.rp, tables.jrows, tables.erows)
+    n = int(np.asarray(out["n_hits"]).sum())
+    t_exec = time.perf_counter() - t0
+    print(f"COMPILE R={R} L={L} max_pos={max_pos} A={max_per_hit} "
+          f"S={max_pos*max_per_hit} lower={t_lower:.1f}s "
+          f"compile={t_compile:.1f}s exec1={t_exec:.2f}s hits={n}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -134,3 +134,38 @@ def test_assemble_heuristic_cluster_weights(tmp_path):
     assert contigs
     for name, contig in contigs.items():
         assert kmer_hit_fraction(contig, sim.genome) > 0.85, name
+
+
+def test_assemble_meshed_driver_matches_host(tmp_path):
+    """The production driver auto-meshes phases ②/③ over all attached
+    devices (8 virtual here); outputs must be byte-identical to the
+    pure-host (use_device=False) run and the counters must show the mesh
+    actually engaged (VERDICT r2 item 3)."""
+    import dataclasses
+    import json
+
+    from muchsalsa_tpu.config import Config
+
+    rng = np.random.default_rng(13)
+    sim = simulate(rng, genome_length=20_000, coverage=8.0)
+    paths = write_simulation(sim, tmp_path / "data")
+
+    base = Config()
+    host_cfg = dataclasses.replace(
+        base, device=dataclasses.replace(base.device, use_device=False))
+
+    out_mesh = tmp_path / "out_mesh"
+    out_host = tmp_path / "out_host"
+    assemble(paths["paf"], paths["unitigs"], paths["reads"], out_mesh,
+             config=base, workers=1)
+    assemble(paths["paf"], paths["unitigs"], paths["reads"], out_host,
+             config=host_cfg, workers=1)
+
+    for fname in ("temp_1.target.fa", "temp_1.query.fa", "temp_1.align.paf"):
+        assert (out_mesh / fname).read_bytes() == (out_host / fname).read_bytes(), fname
+
+    stats = json.loads((out_mesh / "assembly_stats.json").read_text())
+    counters = stats.get("counters", stats)
+    assert counters["mesh_devices"] == 8
+    assert counters["edges_on_device"] == 1
+    assert counters["chaining_on_device"] == 1
