@@ -72,6 +72,9 @@ def main(argv: list[str] | None = None) -> int:
     full.add_argument("--device-kmer", action="store_true",
                       help="count k-mers on the accelerator (identical "
                       "output; wins when the device link is fast)")
+    full.add_argument("--device-scrub", action="store_true",
+                      help="run the scrub's subset all-vs-all overlap "
+                      "on the accelerator (identical output)")
 
     mp = sub.add_parser("map", help="native minimizer mapper (PAF out)")
     mp.add_argument("query_fa", help="unitigs/anchors (PAF query)")
@@ -140,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
             unitig_k=args.unitig_k,
             device_map=bool(getattr(args, "device_map", False)),
             device_kmer=bool(getattr(args, "device_kmer", False)),
+            device_scrub=bool(getattr(args, "device_scrub", False)),
         )
         print(f"Assembly written to {final}")
         return 0

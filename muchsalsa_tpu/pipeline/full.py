@@ -48,6 +48,7 @@ def run_full_pipeline(
     unitig_k: int = 31,
     device_map: bool = False,
     device_kmer: bool = False,
+    device_scrub: bool = False,
 ) -> Path:
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
@@ -182,7 +183,8 @@ def run_full_pipeline(
 
         reads = SequenceStore.from_file(nanopore)
         lines = [l for l in paf2.read_text().splitlines() if l and "__sentinel__" not in l]
-        scrubbed = scrub_reads(lines, reads, config.scrub, config.mapper)
+        scrubbed = scrub_reads(lines, reads, config.scrub, config.mapper,
+                               device=device_scrub)
         write_fasta(scrubbed_fa, scrubbed)
 
     runner.run("scrub", [paf2, nanopore], [scrubbed_fa], stage_scrub)

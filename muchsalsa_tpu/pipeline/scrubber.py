@@ -155,7 +155,8 @@ def _subset_schedule(
 
 
 def _subset_overlap_records(
-    subset: list[str], reads: SequenceStore, scrub_cfg, mapper_cfg
+    subset: list[str], reads: SequenceStore, scrub_cfg, mapper_cfg,
+    device: bool = False,
 ) -> list[tuple[str, str, int, int, str]]:
     """All-vs-all overlap of one subset -> ordered merge records
     ``(target_read, other_read, start, end, direction)``.
@@ -163,11 +164,14 @@ def _subset_overlap_records(
     Pure function of (subset, reads) — the parallelizable step.  Uses
     one multithreaded native batch call when available; otherwise the
     python path computes each read's minimizer sketch once and reuses
-    it for index build and lookup.
+    it for index build and lookup.  ``device=True`` runs the lookups on
+    the accelerator (the subset all-vs-all IS the mapping kernel —
+    ``map_all_with_device``), output identical by the mapper's parity
+    contract.
     """
     from muchsalsa_tpu import native
     from muchsalsa_tpu.ops.minimizer import minimizers
-    from muchsalsa_tpu.pipeline.mapper import map_batch
+    from muchsalsa_tpu.pipeline.mapper import map_all_with_device, map_batch
 
     use_native = native.available() and mapper_cfg.k <= 15
 
@@ -185,7 +189,10 @@ def _subset_overlap_records(
         }
     index = MinimizerIndex.build(subset_store, mapper_cfg, sketches=sketches)
 
-    per_read = map_batch(index, subset_store, mapper_cfg) if use_native else None
+    if device:
+        per_read = map_all_with_device(index, subset_store, mapper_cfg)
+    else:
+        per_read = map_batch(index, subset_store, mapper_cfg) if use_native else None
     if per_read is None:
         per_read = [
             (
@@ -243,6 +250,7 @@ def scrub_reads(
     process_index: int = 0,
     process_count: int = 1,
     allgather=None,
+    device: bool = False,
 ) -> list[tuple[str, bytes]]:
     """Returns scrubbed read records ``(name, sequence)``.
 
@@ -262,7 +270,8 @@ def scrub_reads(
 
     if process_count > 1:
         local = [
-            (i, _subset_overlap_records(subset, reads, scrub_cfg, mapper_cfg))
+            (i, _subset_overlap_records(subset, reads, scrub_cfg, mapper_cfg,
+                                        device=device))
             for i, (subset, _center) in enumerate(schedule)
             if i % process_count == process_index
         ]
@@ -271,7 +280,8 @@ def scrub_reads(
         record_lists = [by_subset[i] for i in range(len(schedule))]
     else:
         record_lists = [
-            _subset_overlap_records(subset, reads, scrub_cfg, mapper_cfg)
+            _subset_overlap_records(subset, reads, scrub_cfg, mapper_cfg,
+                                    device=device)
             for subset, _center in schedule
         ]
 

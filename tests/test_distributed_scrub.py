@@ -78,3 +78,27 @@ def test_two_process_scrub_matches_single(tmp_path):
     expected = tmp_path / "expected.fa"
     write_fasta(expected, single)
     assert got == expected.read_bytes()
+
+
+def test_device_scrub_matches_host(tmp_path):
+    """The scrub's subset all-vs-all through map_all_with_device (meshed
+    over the 8 virtual devices) must emit identical scrubbed reads
+    (VERDICT r2 item 4a)."""
+    rng = np.random.default_rng(78)
+    genome = random_genome(rng, 40_000)
+    reads = SequenceStore()
+    unitigs = SequenceStore()
+    for i in range(10):
+        s = i * 3600
+        reads.add(f"r{i}", genome[s : s + 7000])
+    for i in range(9):
+        unitigs.add(f"u{i}", genome[i * 3600 + 3000 : i * 3600 + 4200])
+
+    mcfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, mcfg)
+    paf = map_all(index, reads, mcfg)
+
+    host = scrub_reads(paf, reads, ScrubConfig(subset_size=3), mcfg)
+    dev = scrub_reads(paf, reads, ScrubConfig(subset_size=3), mcfg,
+                      device=True)
+    assert dev == host
