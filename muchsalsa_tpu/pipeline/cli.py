@@ -66,15 +66,19 @@ def main(argv: list[str] | None = None) -> int:
     full.add_argument("--out", required=True)
     full.add_argument("--kmer-filter-k", type=int, default=None)
     full.add_argument("--unitig-k", type=int, default=31)
-    full.add_argument("--device-map", action="store_true",
+    full.add_argument("--device-map", action=argparse.BooleanOptionalAction,
+                      default=None,
                       help="run the mapping stages on the accelerator "
-                      "(identical output; host fallback per overflow read)")
-    full.add_argument("--device-kmer", action="store_true",
+                      "(identical output; host fallback per overflow read; "
+                      "default: auto — on when an accelerator is attached)")
+    full.add_argument("--device-kmer", action=argparse.BooleanOptionalAction,
+                      default=None,
                       help="count k-mers on the accelerator (identical "
-                      "output; wins when the device link is fast)")
-    full.add_argument("--device-scrub", action="store_true",
+                      "output; default: auto)")
+    full.add_argument("--device-scrub", action=argparse.BooleanOptionalAction,
+                      default=None,
                       help="run the scrub's subset all-vs-all overlap "
-                      "on the accelerator (identical output)")
+                      "on the accelerator (identical output; default: auto)")
 
     mp = sub.add_parser("map", help="native minimizer mapper (PAF out)")
     mp.add_argument("query_fa", help="unitigs/anchors (PAF query)")
@@ -141,9 +145,9 @@ def main(argv: list[str] | None = None) -> int:
             config,
             kmer_filter_k=args.kmer_filter_k,
             unitig_k=args.unitig_k,
-            device_map=bool(getattr(args, "device_map", False)),
-            device_kmer=bool(getattr(args, "device_kmer", False)),
-            device_scrub=bool(getattr(args, "device_scrub", False)),
+            device_map=getattr(args, "device_map", None),
+            device_kmer=getattr(args, "device_kmer", None),
+            device_scrub=getattr(args, "device_scrub", None),
         )
         print(f"Assembly written to {final}")
         return 0

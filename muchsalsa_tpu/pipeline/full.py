@@ -26,6 +26,19 @@ from muchsalsa_tpu.io.fasta import SequenceStore, write_fasta
 from muchsalsa_tpu.pipeline.stages import StageRunner
 
 
+def accelerator_attached() -> bool:
+    """True when the default jax backend is a real accelerator (not the
+    host CPU).  Device stage placement defaults to this: on an attached
+    TPU the device paths win the pipeline's dominant stages (VERDICT r2
+    item 4 — scrub/kmer/map were 82% of the 40 Mb wall on the host)."""
+    try:
+        import jax
+
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 def _read_pairs(path1: Path, path2: Path | None):
     s1 = SequenceStore.from_file(path1)
     seqs1 = [s1.sequence(i) for i in s1.ids()]
@@ -46,14 +59,26 @@ def run_full_pipeline(
     config: Config = DEFAULT_CONFIG,
     kmer_filter_k: int | None = None,
     unitig_k: int = 31,
-    device_map: bool = False,
-    device_kmer: bool = False,
-    device_scrub: bool = False,
+    device_map: bool | None = None,
+    device_kmer: bool | None = None,
+    device_scrub: bool | None = None,
 ) -> Path:
+    # tri-state placement flags: None = auto (device when an accelerator
+    # is attached), True/False = forced by the caller/CLI
+    accel = accelerator_attached()
+    device_map = accel if device_map is None else device_map
+    device_kmer = accel if device_kmer is None else device_kmer
+    device_scrub = accel if device_scrub is None else device_scrub
+
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     runner = StageRunner(out)
     report = out / "report.txt"
+    with open(report, "a") as fh:
+        fh.write(
+            f"device placement: map={device_map} kmer={device_kmer} "
+            f"scrub={device_scrub} (accelerator_attached={accel})\n"
+        )
 
     illumina1 = Path(illumina1)
     illumina2 = Path(illumina2) if illumina2 else None
