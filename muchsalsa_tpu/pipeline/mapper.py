@@ -418,6 +418,7 @@ def map_all_with_device(
     from muchsalsa_tpu.ops.mapping_jax import (
         build_device_tables, build_join_tables, map_reads_device,
         map_reads_device_v2_packed, pack_codes)
+    from muchsalsa_tpu.utils.aot_cache import cached_call
 
     items = list(reads.items())
     if not items:
@@ -492,17 +493,22 @@ def map_all_with_device(
                     hash_takes=hash_takes, **kw)
             elif built is not None:
                 # 2-bit pack (0.375 bytes/base) — the h2d transfer, not
-                # compute, bounds the warm pass on a tunnel-attached TPU
+                # compute, bounds the warm pass on a tunnel-attached TPU.
+                # cached_call loads a previously serialized executable
+                # for this shape when one exists (compile-once-ever).
                 packed, nmask = pack_codes(codes)
-                out = map_reads_device_v2_packed(
-                    jnp.asarray(packed), jnp.asarray(nmask),
-                    jnp.asarray(lens),
-                    tables.rp, tables.jrows, tables.erows,
-                    hash_takes=hash_takes, **kw)
+                out = cached_call(
+                    map_reads_device_v2_packed,
+                    (jnp.asarray(packed), jnp.asarray(nmask),
+                     jnp.asarray(lens),
+                     tables.rp, tables.jrows, tables.erows),
+                    dict(hash_takes=hash_takes, **kw))
             else:
-                out = map_reads_device(
-                    jnp.asarray(codes), jnp.asarray(lens), *idx_dev, bitmap,
-                    rank, join_rounds=rounds, **kw)
+                out = cached_call(
+                    map_reads_device,
+                    (jnp.asarray(codes), jnp.asarray(lens), *idx_dev,
+                     bitmap, rank),
+                    dict(join_rounds=rounds, **kw))
             out = {k2: np.asarray(v2) for k2, v2 in out.items()}
             for i, (rid, seq) in enumerate(chunk):
                 if out["overflow"][i]:

@@ -1,0 +1,97 @@
+"""Persistent AOT executable cache (utils/aot_cache.py).
+
+The cache exists for the axon backend (server-side compiles that JAX's
+own persistent cache never stores); on the CPU test backend it is off
+by default and opted in here via MS_TPU_AOT_CACHE=<tmpdir>.
+"""
+
+import numpy as np
+import pytest
+
+
+def test_cached_call_round_trip(tmp_path, monkeypatch):
+    monkeypatch.setenv("MS_TPU_AOT_CACHE", str(tmp_path))
+    import jax
+    import jax.numpy as jnp
+
+    from muchsalsa_tpu.utils import aot_cache
+
+    aot_cache.reset_cache_stats()
+    fn = jax.jit(lambda x, s: x * s + 1, static_argnames=("s",))
+    x = jnp.arange(8, dtype=jnp.int32)
+    out1 = aot_cache.cached_call(fn, (x,), {"s": 3})
+    out2 = aot_cache.cached_call(fn, (x,), {"s": 3})
+    np.testing.assert_array_equal(np.asarray(out1), np.arange(8) * 3 + 1)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    stats = aot_cache.cache_stats()
+    assert stats["misses"] >= 1
+    # second identical call must load the serialized executable (or, on
+    # a platform without executable serialization, record the failure
+    # and fall back — results above are asserted identical either way)
+    assert stats["hits"] >= 1 or stats["errors"] >= 1
+
+
+def test_cache_key_distinguishes_shapes_and_statics(tmp_path, monkeypatch):
+    monkeypatch.setenv("MS_TPU_AOT_CACHE", str(tmp_path))
+    import jax
+    import jax.numpy as jnp
+
+    from muchsalsa_tpu.utils import aot_cache
+
+    fn = jax.jit(lambda x, s: x * s, static_argnames=("s",))
+    k1 = aot_cache._cache_key(fn, (jnp.zeros((4,), jnp.int32),), {"s": 2})
+    k2 = aot_cache._cache_key(fn, (jnp.zeros((8,), jnp.int32),), {"s": 2})
+    k3 = aot_cache._cache_key(fn, (jnp.zeros((4,), jnp.int32),), {"s": 3})
+    assert len({k1, k2, k3}) == 3
+
+
+def test_cache_disabled_on_cpu_by_default(monkeypatch):
+    monkeypatch.delenv("MS_TPU_AOT_CACHE", raising=False)
+    from muchsalsa_tpu.utils import aot_cache
+
+    # tests pin the CPU backend (conftest) -> default off
+    assert aot_cache.cache_enabled() is False
+
+
+def test_map_all_with_device_through_cache(tmp_path, monkeypatch):
+    """Production mapper through the executable cache: PAF-identical to
+    the host path, and a re-run hits the on-disk blob."""
+    monkeypatch.setenv("MS_TPU_AOT_CACHE", str(tmp_path))
+    import jax
+
+    # pin a single device: the meshed (>1 device) mapper path shards
+    # instead of using the per-process executable cache
+    real = jax.devices()
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: real[:1])
+    from muchsalsa_tpu.config import MapperConfig
+    from muchsalsa_tpu.io.fasta import SequenceStore
+    from muchsalsa_tpu.pipeline.mapper import MinimizerIndex, map_all
+    from muchsalsa_tpu.testing.simulate import add_noise, simulate
+    from muchsalsa_tpu.utils import aot_cache
+
+    rng = np.random.default_rng(47)
+    sim = simulate(rng, genome_length=20_000, coverage=4.0, read_length=3_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    reads = SequenceStore()
+    for name, seq in sim.read_records():
+        reads.add(name, add_noise(rng, seq, 0.05))
+
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+    host_lines = map_all(index, reads, cfg)
+
+    aot_cache.reset_cache_stats()
+    dev_lines = map_all(index, reads, cfg, device=True)
+    assert dev_lines == host_lines
+    first = aot_cache.cache_stats()
+    if first["errors"]:  # platform without executable serialization
+        pytest.skip("executable serialization unavailable here")
+    assert first["misses"] >= 1
+
+    aot_cache.reset_cache_stats()
+    dev_lines2 = map_all(index, reads, cfg, device=True)
+    assert dev_lines2 == host_lines
+    second = aot_cache.cache_stats()
+    assert second["hits"] >= 1 and second["misses"] == 0
