@@ -199,6 +199,7 @@ def chaining_phase_device(
     """
     from muchsalsa_tpu.ops.chaining import GatheredMatches, max_pairwise_paths
     from muchsalsa_tpu.ops.overlap import get_overlap
+    from muchsalsa_tpu.utils.aot_cache import cached_call
 
     dtype = np.float64 if jax.config.read("jax_enable_x64") else np.float32
     max_bucket = max(chain_buckets)
@@ -291,9 +292,14 @@ def chaining_phase_device(
                 batch, int(wiggle_room), mesh,
                 axis=mesh.axis_names[0], use_pallas=on_tpu)
         elif on_tpu:
-            scores_dev, bps_dev = chain_dp_batch_pallas(batch, int(wiggle_room))
+            # through the persistent executable cache: each (B, K) shape
+            # compiles once ever on this backend (utils/aot_cache.py)
+            scores_dev, bps_dev = cached_call(
+                chain_dp_batch_pallas, (batch,),
+                {"wiggle_room": int(wiggle_room)})
         else:
-            scores_dev, bps_dev = chain_dp_batch(batch, int(wiggle_room))
+            scores_dev, bps_dev = cached_call(
+                chain_dp_batch, (batch,), {"wiggle_room": int(wiggle_room)})
         scores_np = np.asarray(scores_dev)
         bps_np = np.asarray(bps_dev)
 

@@ -356,9 +356,14 @@ def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
     chaining — ``pipeline.mapper.map_read``)."""
     R, S = key.shape
 
-    # global per-read sort by ((unitig, strand), diagonal)
-    key, diag, aq, at = jax.lax.sort(
-        (key, diag, aq, at), dimension=1, num_keys=2)
+    # global per-read sort by ((unitig, strand), diagonal).  Payloads
+    # ride a permutation gather instead of extra sort operands: sort
+    # compile cost on this backend grows steeply with operand count
+    # (measured 15 s for the 4-operand form vs 5 s for sort3+gathers).
+    iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    key, diag, perm = jax.lax.sort((key, diag, iota), dimension=1, num_keys=2)
+    aq = jnp.take_along_axis(aq, perm, axis=1)
+    at = jnp.take_along_axis(at, perm, axis=1)
     valid = key < _I32_MAX
 
     prev_key = jnp.concatenate([jnp.full((R, 1), -1, key.dtype), key[:, :-1]], axis=1)
@@ -478,10 +483,12 @@ def map_reads_device_v2(
     # -- compact candidates to (R, max_pos)
     if max_pos < P:
         ckey = jnp.where(cand, skey, _I32_MAX)
-        ckey, h_c, rpv_c = jax.lax.sort((ckey, h_s, rpv), dimension=1, num_keys=1)
+        iota_p = jax.lax.broadcasted_iota(jnp.int32, ckey.shape, 1)
+        ckey, cperm = jax.lax.sort((ckey, iota_p), dimension=1, num_keys=1)
         ckey = ckey[:, :max_pos]
-        h_c = h_c[:, :max_pos]
-        rpv_c = rpv_c[:, :max_pos]
+        cperm = cperm[:, :max_pos]
+        h_c = jnp.take_along_axis(h_s, cperm, axis=1)
+        rpv_c = jnp.take_along_axis(rpv, cperm, axis=1)
         n_cand = jnp.sum(cand.astype(jnp.int32), axis=1)
         overflow = overflow | (n_cand > max_pos)
         cand_v = ckey < _I32_MAX

@@ -148,12 +148,23 @@ def run_full_pipeline(
 
     runner.run("unitigs", [filtered_fa], [unitigs_fa], stage_unitigs, {"k": unitig_k})
 
-    # helper: native mapping stage
+    # helper: native mapping stage.  Stores load once per path so the
+    # device mapper's resident read batches survive across the three
+    # map stages (reads cross the host->device link once, not thrice)
+    _stores: dict[Path, SequenceStore] = {}
+
+    def load_store(path: Path) -> SequenceStore:
+        store = _stores.get(path)
+        if store is None:
+            store = SequenceStore.from_file(path)
+            _stores[path] = store
+        return store
+
     def map_stage(query_fa: Path, target_fa: Path, out_paf: Path):
         from muchsalsa_tpu.pipeline.mapper import MinimizerIndex, map_all, write_paf
 
-        unitigs = SequenceStore.from_file(query_fa)
-        reads = SequenceStore.from_file(target_fa)
+        unitigs = load_store(query_fa)
+        reads = load_store(target_fa)
         index = MinimizerIndex.build(unitigs, config.mapper)
         lines = map_all(
             index, reads, config.mapper,
@@ -221,6 +232,9 @@ def run_full_pipeline(
         [paf3],
         lambda: map_stage(corrected_fa, scrubbed_fa, paf3),
     )
+
+    # mapping stages done: release host stores + device-resident batches
+    _stores.clear()
 
     # ⑧ core assembly
     def stage_core():

@@ -463,12 +463,45 @@ def map_all_with_device(
     for rid, seq in items:
         buckets.setdefault(bucket_len(len(seq)), []).append((rid, seq))
 
-    results: dict[int, list[Mapping]] = {}
-    for L, members in sorted(buckets.items()):
-        for s in range(0, len(members), batch_reads):
-            chunk = members[s : s + batch_reads]
-            # pad the batch axis so every chunk compiles to one (R, L)
-            # shape per length bucket (padding reads have len 0 -> no hits)
+    kw = dict(
+        k=cfg.k, w=cfg.w, bandwidth=cfg.bandwidth,
+        min_anchor_count=cfg.min_anchor_count,
+        min_chain_score=cfg.min_chain_score,
+        max_pos=max_pos, max_per_hit=max_per_hit, max_hits=max_hits,
+    )
+
+    # device-resident read batches: the pipeline maps the same read
+    # store against several indexes (unitigs, corrected unitigs —
+    # pipeline.sh:163,169), and on a tunnel-attached TPU the h2d
+    # shipping of read codes bounds the pass. Cache the packed device
+    # arrays on the store so reads cross the link once per store.
+    dev_cache = getattr(reads, "_dev_batch_cache", None)
+    if dev_cache is None:
+        dev_cache = reads._dev_batch_cache = {}
+
+    def packed_batch(chunk, L, s):
+        key = (L, s, batch_reads)
+        cached = dev_cache.get(key)
+        if cached is not None:
+            return cached
+        R = batch_reads
+        codes = np.full((R, L), 4, dtype=np.uint8)
+        lens = np.zeros(R, dtype=np.int32)
+        for i, (_rid, seq) in enumerate(chunk):
+            c = encode_2bit(seq)
+            codes[i, : len(c)] = c
+            lens[i] = len(c)
+        packed, nmask = pack_codes(codes)
+        cached = (jnp.asarray(packed), jnp.asarray(nmask),
+                  jnp.asarray(lens))
+        dev_cache[key] = cached
+        return cached
+
+    def dispatch(chunk, L, s):
+        if built is not None:
+            packed_d, nmask_d, lens_d = packed_batch(chunk, L, s)
+        else:
+            # legacy (unpacked) path: build host arrays per pass
             R = batch_reads
             codes = np.full((R, L), 4, dtype=np.uint8)
             lens = np.zeros(R, dtype=np.int32)
@@ -476,58 +509,65 @@ def map_all_with_device(
                 c = encode_2bit(seq)
                 codes[i, : len(c)] = c
                 lens[i] = len(c)
-            kw = dict(
-                k=cfg.k, w=cfg.w, bandwidth=cfg.bandwidth,
-                min_anchor_count=cfg.min_anchor_count,
-                min_chain_score=cfg.min_chain_score,
-                max_pos=max_pos, max_per_hit=max_per_hit, max_hits=max_hits,
-            )
-            if built is not None and mesh is not None:
-                from muchsalsa_tpu.parallel.sharded import (
-                    sharded_map_reads_v2_packed)
+        if built is not None and mesh is not None:
+            from muchsalsa_tpu.parallel.sharded import (
+                sharded_map_reads_v2_packed)
 
-                packed, nmask = pack_codes(codes)
-                out, _stats = sharded_map_reads_v2_packed(
-                    jnp.asarray(packed), jnp.asarray(nmask),
-                    jnp.asarray(lens), tables, mesh,
-                    hash_takes=hash_takes, **kw)
-            elif built is not None:
-                # 2-bit pack (0.375 bytes/base) — the h2d transfer, not
-                # compute, bounds the warm pass on a tunnel-attached TPU.
-                # cached_call loads a previously serialized executable
-                # for this shape when one exists (compile-once-ever).
-                packed, nmask = pack_codes(codes)
-                out = cached_call(
-                    map_reads_device_v2_packed,
-                    (jnp.asarray(packed), jnp.asarray(nmask),
-                     jnp.asarray(lens),
-                     tables.rp, tables.jrows, tables.erows),
-                    dict(hash_takes=hash_takes, **kw))
-            else:
-                out = cached_call(
-                    map_reads_device,
-                    (jnp.asarray(codes), jnp.asarray(lens), *idx_dev,
-                     bitmap, rank),
-                    dict(join_rounds=rounds, **kw))
-            out = {k2: np.asarray(v2) for k2, v2 in out.items()}
-            for i, (rid, seq) in enumerate(chunk):
-                if out["overflow"][i]:
-                    results[rid] = map_read(index, seq, cfg)
-                    continue
-                n = int(out["n_hits"][i])
-                results[rid] = [
-                    Mapping(
-                        unitig=int(out["unitig"][i, j]),
-                        strand=bool(out["strand"][i, j]),
-                        q_start=int(out["qs"][i, j]),
-                        q_end=int(out["qe"][i, j]),
-                        t_start=int(out["ts"][i, j]),
-                        t_end=int(out["te"][i, j]),
-                        matches=int(out["matches"][i, j]),
-                        n_anchors=int(out["n_anchors"][i, j]),
-                    )
-                    for j in range(n)
-                ]
+            out, _stats = sharded_map_reads_v2_packed(
+                packed_d, nmask_d, lens_d, tables, mesh,
+                hash_takes=hash_takes, **kw)
+            return out
+        if built is not None:
+            # 2-bit pack (0.375 bytes/base) — the h2d transfer, not
+            # compute, bounds the warm pass on a tunnel-attached TPU.
+            # cached_call loads a previously serialized executable
+            # for this shape when one exists (compile-once-ever).
+            return cached_call(
+                map_reads_device_v2_packed,
+                (packed_d, nmask_d, lens_d,
+                 tables.rp, tables.jrows, tables.erows),
+                dict(hash_takes=hash_takes, **kw))
+        return cached_call(
+            map_reads_device,
+            (jnp.asarray(codes), jnp.asarray(lens), *idx_dev,
+             bitmap, rank),
+            dict(join_rounds=rounds, **kw))
+
+    def collect(chunk, out):
+        out = {k2: np.asarray(v2) for k2, v2 in out.items()}
+        for i, (rid, seq) in enumerate(chunk):
+            if out["overflow"][i]:
+                results[rid] = map_read(index, seq, cfg)
+                continue
+            n = int(out["n_hits"][i])
+            results[rid] = [
+                Mapping(
+                    unitig=int(out["unitig"][i, j]),
+                    strand=bool(out["strand"][i, j]),
+                    q_start=int(out["qs"][i, j]),
+                    q_end=int(out["qe"][i, j]),
+                    t_start=int(out["ts"][i, j]),
+                    t_end=int(out["te"][i, j]),
+                    matches=int(out["matches"][i, j]),
+                    n_anchors=int(out["n_anchors"][i, j]),
+                )
+                for j in range(n)
+            ]
+
+    results: dict[int, list[Mapping]] = {}
+    # double-buffered loop: dispatch chunk i+1 (async h2d + compute)
+    # before pulling chunk i's results, so the tunnel's two directions
+    # and the chip overlap instead of serializing per batch
+    pending: tuple | None = None
+    for L, members in sorted(buckets.items()):
+        for s in range(0, len(members), batch_reads):
+            chunk = members[s : s + batch_reads]
+            out = dispatch(chunk, L, s)
+            if pending is not None:
+                collect(*pending)
+            pending = (chunk, out)
+    if pending is not None:
+        collect(*pending)
     return [(rid, results[rid]) for rid, _ in items]
 
 
