@@ -420,10 +420,7 @@ def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
     }
 
 
-@partial(jax.jit, static_argnames=(
-    "k", "w", "bandwidth", "min_anchor_count", "min_chain_score",
-    "max_sel", "max_pos", "max_per_hit", "max_hits", "hash_takes"))
-def map_reads_device_v2(
+def _v2_anchors(
     codes: jnp.ndarray,        # (R, L) uint8/int32, pad = 4
     lens: jnp.ndarray,         # (R,)
     rp: jnp.ndarray,           # DeviceTables.rp
@@ -431,25 +428,23 @@ def map_reads_device_v2(
     erows: jnp.ndarray,        # DeviceTables.erows
     k: int = 15,
     w: int = 5,
-    bandwidth: int = 500,
-    min_anchor_count: int = 4,
-    min_chain_score: int = 100,
     max_sel: int = 4608,
     max_pos: int = 1024,
     max_per_hit: int = 4,
-    max_hits: int = 64,
     hash_takes: int = 1,       # from build_device_tables
 ):
-    """v2 of :func:`map_reads_device`: same results, restructured for
-    the TPU's memory system.  Every random access is either one 4-byte
-    rank-probe gather or a contiguous 16-word row fetch
-    (``jnp.take(..., axis=0)``), replacing the bitmap probe + 6-round
-    binary search + 3D entry gathers of v1 (measured ~4x end to end).
+    """v2 sketch + join + expansion: minimizer sketch -> compact
+    selected positions (carrying hash+strand through one sort) ->
+    rank-probe -> compact candidates -> packed-row join -> packed-row
+    entry expansion.  Returns the flat anchor arrays
+    (key, diag, aq, at) of shape (R, max_pos*max_per_hit) plus the
+    overflow flags — input to :func:`_anchors_to_hits`.
 
-    Stages: minimizer sketch -> compact selected positions (carrying
-    hash+strand through one sort) -> rank-probe -> compact candidates ->
-    packed-row join -> packed-row entry expansion -> shared chaining
-    tail.  ``max_per_hit`` must be < 31 (count saturation bound).
+    Every random access is either one 4-byte rank-probe gather or a
+    contiguous 16-word row fetch (``jnp.take(..., axis=0)``), replacing
+    the bitmap probe + 6-round binary search + 3D entry gathers of v1
+    (measured ~4x end to end).  ``max_per_hit`` must be < 31 (count
+    saturation bound).
     """
     if max_per_hit >= _CNT_CAP:
         raise ValueError("max_per_hit must be < 31 for the v2 join path")
@@ -564,10 +559,88 @@ def map_reads_device_v2(
     aq = aq.reshape(R, S)
     at = jnp.where(a_valid, at, 0).reshape(R, S)
 
+    return key, diag, aq, at, overflow
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "w", "bandwidth", "min_anchor_count", "min_chain_score",
+    "max_sel", "max_pos", "max_per_hit", "max_hits", "hash_takes"))
+def map_reads_device_v2(
+    codes: jnp.ndarray,
+    lens: jnp.ndarray,
+    rp: jnp.ndarray,
+    jrows: jnp.ndarray,
+    erows: jnp.ndarray,
+    k: int = 15,
+    w: int = 5,
+    bandwidth: int = 500,
+    min_anchor_count: int = 4,
+    min_chain_score: int = 100,
+    max_sel: int = 4608,
+    max_pos: int = 1024,
+    max_per_hit: int = 4,
+    max_hits: int = 64,
+    hash_takes: int = 1,
+):
+    """v2 of :func:`map_reads_device` as ONE jit: anchor expansion
+    (:func:`_v2_anchors`) + chaining tail (:func:`_anchors_to_hits`).
+    Same results as the split pair below; kept for small shapes and as
+    the semantics reference."""
+    key, diag, aq, at, overflow = _v2_anchors(
+        codes, lens, rp, jrows, erows, k=k, w=w, max_sel=max_sel,
+        max_pos=max_pos, max_per_hit=max_per_hit, hash_takes=hash_takes)
     return _anchors_to_hits(
         key, diag, aq, at, k, bandwidth, min_anchor_count, min_chain_score,
         max_hits, overflow,
     )
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "w", "max_sel", "max_pos", "max_per_hit", "hash_takes"))
+def map_anchors_device_v2_packed(
+    packed: jnp.ndarray,
+    nmask: jnp.ndarray,
+    lens: jnp.ndarray,
+    rp: jnp.ndarray,
+    jrows: jnp.ndarray,
+    erows: jnp.ndarray,
+    k: int = 15,
+    w: int = 5,
+    max_sel: int = 4608,
+    max_pos: int = 1024,
+    max_per_hit: int = 4,
+    hash_takes: int = 1,
+):
+    """First half of the SPLIT v2 mapping pipeline over packed codes:
+    anchors only.  The split exists because the remote backend's
+    compile time explodes combinatorially with whole-program size (the
+    fused single jit costs 1150 s server-side at 16384 anchor slots
+    while its two halves compile in ~a minute each, measured round 3);
+    the intermediate anchor arrays stay on the device."""
+    return _v2_anchors(
+        unpack_codes(packed, nmask), lens, rp, jrows, erows, k=k, w=w,
+        max_sel=max_sel, max_pos=max_pos, max_per_hit=max_per_hit,
+        hash_takes=hash_takes)
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "bandwidth", "min_anchor_count", "min_chain_score", "max_hits"))
+def anchors_to_hits_device(
+    key: jnp.ndarray,
+    diag: jnp.ndarray,
+    aq: jnp.ndarray,
+    at: jnp.ndarray,
+    overflow: jnp.ndarray,
+    k: int = 15,
+    bandwidth: int = 500,
+    min_anchor_count: int = 4,
+    min_chain_score: int = 100,
+    max_hits: int = 64,
+):
+    """Second half of the split v2 mapping pipeline: chaining tail."""
+    return _anchors_to_hits(
+        key, diag, aq, at, k, bandwidth, min_anchor_count,
+        min_chain_score, max_hits, overflow)
 
 
 # ---------------------------------------------------------------------------

@@ -416,8 +416,8 @@ def map_all_with_device(
     import jax.numpy as jnp
 
     from muchsalsa_tpu.ops.mapping_jax import (
-        build_device_tables, build_join_tables, map_reads_device,
-        map_reads_device_v2_packed, pack_codes)
+        anchors_to_hits_device, build_device_tables, build_join_tables,
+        map_anchors_device_v2_packed, map_reads_device, pack_codes)
     from muchsalsa_tpu.utils.aot_cache import cached_call
 
     items = list(reads.items())
@@ -520,13 +520,24 @@ def map_all_with_device(
         if built is not None:
             # 2-bit pack (0.375 bytes/base) — the h2d transfer, not
             # compute, bounds the warm pass on a tunnel-attached TPU.
-            # cached_call loads a previously serialized executable
-            # for this shape when one exists (compile-once-ever).
-            return cached_call(
-                map_reads_device_v2_packed,
+            # The pipeline runs as TWO jits (anchors | chaining tail)
+            # because whole-program compile time explodes on the remote
+            # backend (1150 s fused vs ~a minute split at production
+            # shapes); the anchor arrays never leave the device, and
+            # cached_call loads previously serialized executables for
+            # these shapes when they exist (compile-once-ever).
+            anchors = cached_call(
+                map_anchors_device_v2_packed,
                 (packed_d, nmask_d, lens_d,
                  tables.rp, tables.jrows, tables.erows),
-                dict(hash_takes=hash_takes, **kw))
+                dict(k=cfg.k, w=cfg.w, max_pos=max_pos,
+                     max_per_hit=max_per_hit, hash_takes=hash_takes))
+            return cached_call(
+                anchors_to_hits_device, tuple(anchors),
+                dict(k=cfg.k, bandwidth=cfg.bandwidth,
+                     min_anchor_count=cfg.min_anchor_count,
+                     min_chain_score=cfg.min_chain_score,
+                     max_hits=max_hits))
         return cached_call(
             map_reads_device,
             (jnp.asarray(codes), jnp.asarray(lens), *idx_dev,

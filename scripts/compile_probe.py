@@ -8,8 +8,9 @@ combo so the production mapper can be tiled under the cliff, and checks
 whether the persistent compilation cache (JAX_COMPILATION_CACHE_DIR)
 actually hits across processes on this backend.
 
-Usage: python scripts/compile_probe.py L MAX_POS MAX_PER_HIT [R=256]
+Usage: python scripts/compile_probe.py L MAX_POS MAX_PER_HIT [R=256] [split]
 Prints one line: COMPILE L=.. S=.. seconds=..
+(`split` probes the production two-jit pipeline: anchors | chaining tail)
 """
 
 from __future__ import annotations
@@ -49,6 +50,35 @@ def main() -> None:
     codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
     lens = jnp.asarray(np.full(R, L, dtype=np.int32))
     packed, nmask = pack_codes(codes)
+
+    split = len(sys.argv) > 5 and sys.argv[5] == "split"
+    if split:
+        from muchsalsa_tpu.ops.mapping_jax import (
+            anchors_to_hits_device, map_anchors_device_v2_packed)
+
+        kw_a = dict(k=15, w=5, max_pos=max_pos, max_per_hit=max_per_hit,
+                    hash_takes=hash_takes)
+        kw_b = dict(k=15, bandwidth=2000, min_anchor_count=3,
+                    min_chain_score=100)
+        args_a = (jnp.asarray(packed), jnp.asarray(nmask), lens,
+                  tables.rp, tables.jrows, tables.erows)
+        t0 = time.perf_counter()
+        low_a = map_anchors_device_v2_packed.lower(*args_a, **kw_a)
+        comp_a = low_a.compile()
+        t_a = time.perf_counter() - t0
+        anchors = comp_a(*args_a)
+        t0 = time.perf_counter()
+        low_b = anchors_to_hits_device.lower(*anchors, **kw_b)
+        comp_b = low_b.compile()
+        t_b = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = comp_b(*anchors)
+        n = int(np.asarray(out["n_hits"]).sum())
+        t_exec = time.perf_counter() - t0
+        print(f"COMPILE-SPLIT R={R} L={L} max_pos={max_pos} A={max_per_hit} "
+              f"S={max_pos*max_per_hit} anchors={t_a:.1f}s tail={t_b:.1f}s "
+              f"exec_tail={t_exec:.2f}s hits={n}", flush=True)
+        return
 
     kw = dict(k=15, w=5, bandwidth=2000, min_anchor_count=3,
               min_chain_score=100, max_pos=max_pos,

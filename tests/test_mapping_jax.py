@@ -450,3 +450,57 @@ def test_map_all_with_device_meshes_nondivisible(monkeypatch):
     assert DEVICE_MAP_STATS["meshed"] is True
     assert DEVICE_MAP_STATS["n_devices"] == 3
     assert DEVICE_MAP_STATS["batch_reads"] % 3 == 0
+
+
+def test_split_pipeline_matches_fused():
+    """The production two-jit pipeline (anchors | chaining tail) equals
+    the fused map_reads_device_v2_packed jit bit-for-bit."""
+    from muchsalsa_tpu.ops.mapping_jax import (
+        anchors_to_hits_device, build_device_tables,
+        map_anchors_device_v2_packed, map_reads_device_v2_packed,
+        pack_codes)
+
+    rng = np.random.default_rng(48)
+    sim = simulate(rng, genome_length=24_000, coverage=5.0, read_length=4_000)
+    unitigs = SequenceStore()
+    for name, seq in sim.unitig_records():
+        unitigs.add(name, seq)
+    reads = SequenceStore()
+    for name, seq in sim.read_records():
+        reads.add(name, add_noise(rng, seq, 0.05))
+
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(unitigs, cfg)
+    tables, hash_takes = build_device_tables(
+        index.hashes, index.offsets, index.entry_unitig, index.entry_pos,
+        index.entry_strand)
+
+    seqs = [seq for _, seq in reads.items()]
+    L = 1 << int(max(len(s) for s in seqs) - 1).bit_length()
+    codes = np.full((len(seqs), L), 4, dtype=np.uint8)
+    lens = np.zeros(len(seqs), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        c = encode_2bit(s)
+        codes[i, : len(c)] = c
+        lens[i] = len(c)
+    packed, nmask = pack_codes(codes)
+    args = (jnp.asarray(packed), jnp.asarray(nmask), jnp.asarray(lens),
+            tables.rp, tables.jrows, tables.erows)
+
+    for max_pos, A in ((512, 4), (1024, 2)):
+        fused = map_reads_device_v2_packed(
+            *args, k=cfg.k, w=cfg.w, bandwidth=cfg.bandwidth,
+            min_anchor_count=cfg.min_anchor_count,
+            min_chain_score=cfg.min_chain_score,
+            max_pos=max_pos, max_per_hit=A, hash_takes=hash_takes)
+        anchors = map_anchors_device_v2_packed(
+            *args, k=cfg.k, w=cfg.w, max_pos=max_pos, max_per_hit=A,
+            hash_takes=hash_takes)
+        split = anchors_to_hits_device(
+            *anchors, k=cfg.k, bandwidth=cfg.bandwidth,
+            min_anchor_count=cfg.min_anchor_count,
+            min_chain_score=cfg.min_chain_score)
+        for key in fused:
+            np.testing.assert_array_equal(
+                np.asarray(fused[key]), np.asarray(split[key]),
+                err_msg=f"{key} max_pos={max_pos} A={A}")
