@@ -85,18 +85,14 @@ def sort_count_chunk(hi: jnp.ndarray, lo: jnp.ndarray, valid: jnp.ndarray):
         jnp.ones(1, jnp.bool_),
         (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
     ])
-    # reverse segmented sum: value at each run start = run length
-    last = jnp.concatenate([first[1:], jnp.ones(1, jnp.bool_)])
-    rev = lambda x: jnp.flip(x, axis=0)
-
-    def op(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, va + vb)
-
-    _, counts_rev = jax.lax.associative_scan(
-        op, (rev(last), rev(jnp.ones_like(hi_s, jnp.int32))), axis=0)
-    return hi_s, lo_s, rev(counts_rev), first, n_valid
+    # run lengths via one scatter reduction (a flat associative_scan
+    # unrolls into ~23 wide slice steps whose server-side compile cost
+    # explodes — same fix as ops/mapping_jax._anchors_to_hits)
+    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+    N = hi_s.shape[0]
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(run_id), run_id, num_segments=N)[run_id]
+    return hi_s, lo_s, counts, first, n_valid
 
 
 def count_kmers_device(
@@ -121,8 +117,11 @@ def count_kmers_device(
         nonlocal row
         if row == 0:
             return
+        # always ship the full (rows_per_chunk, row_len) buffer: unused
+        # rows have len 0 (no valid k-mers), and a partial last chunk
+        # would otherwise compile a fresh shape per distinct row count
         hi, lo, valid = kmer_hi_lo_batch(
-            jnp.asarray(buf[:row]), jnp.asarray(lens[:row]), k)
+            jnp.asarray(buf), jnp.asarray(lens), k)
         hi_s, lo_s, counts, first, n_valid = sort_count_chunk(hi, lo, valid)
         n = int(n_valid)
         hi_n = np.asarray(hi_s[:n], dtype=np.uint64)

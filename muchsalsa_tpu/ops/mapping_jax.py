@@ -14,9 +14,9 @@ TPU idioms:
 - each hit expands to at most ``max_per_hit`` index entries (reads
   hitting ultra-repetitive minimizers beyond the cap are flagged in
   ``overflow`` so callers can fall back to the host path);
-- ``reduceat`` segment stats become reverse segmented scans
-  (``lax.associative_scan``) whose value at each segment start is the
-  full-segment reduction;
+- ``reduceat`` segment stats become single-HLO scatter reductions
+  (``jax.ops.segment_*`` over flattened ``read*S + seg_id`` ids) read
+  back per position with one flat gather each;
 - per-read results compact into ``max_hits`` Mapping slots.
 
 Throughput and the multi-chip wrapper live in ``parallel/sharded.py``
@@ -36,27 +36,6 @@ from muchsalsa_tpu.ops.minimizer_jax import minimizer_sketch
 
 _I32_MAX = jnp.int32(2**31 - 1)
 
-
-def _seg_reduce_to_starts(vals, new_seg, combine, axis=1):
-    """Reverse segmented inclusive scan: returns an array where each
-    segment-start position holds the reduction of its whole segment
-    (other positions hold suffix reductions — callers ignore them).
-    ``new_seg[i]`` marks i as the first element of a segment."""
-    S = vals.shape[axis]
-    rev = lambda x: jnp.flip(x, axis=axis)
-    # reversed element j starts a reversed segment iff its original
-    # element is the last of its original segment
-    last = jnp.concatenate(
-        [new_seg[:, 1:], jnp.ones_like(new_seg[:, :1])], axis=1)
-    flags_rev = rev(last)
-
-    def op(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, combine(va, vb))
-
-    _, scanned = jax.lax.associative_scan(op, (flags_rev, rev(vals)), axis=axis)
-    return rev(scanned)
 
 
 RANK_LOG2 = 20  # rank-table buckets over the 32-bit hash space
@@ -321,39 +300,21 @@ def map_reads_device(
     )
 
 
-def _seg_stats_to_starts(aq, at, ones, new_seg):
-    """Fused variant of five :func:`_seg_reduce_to_starts` calls — one
-    reverse segmented scan carrying (q_min, q_max, t_min, t_max, count)
-    together (the scans are VMEM-bandwidth-bound; fusing them is ~5x
-    cheaper than five passes)."""
-    rev = lambda x: jnp.flip(x, axis=1)
-    last = jnp.concatenate(
-        [new_seg[:, 1:], jnp.ones_like(new_seg[:, :1])], axis=1)
-    flags = rev(last)
-    rq, rt, ro = rev(aq), rev(at), rev(ones)
-
-    def op(a, b):
-        fa, qna, qxa, tna, txa, na = a
-        fb, qnb, qxb, tnb, txb, nb = b
-        return (
-            fa | fb,
-            jnp.where(fb, qnb, jnp.minimum(qna, qnb)),
-            jnp.where(fb, qxb, jnp.maximum(qxa, qxb)),
-            jnp.where(fb, tnb, jnp.minimum(tna, tnb)),
-            jnp.where(fb, txb, jnp.maximum(txa, txb)),
-            jnp.where(fb, nb, na + nb),
-        )
-
-    _, qn, qx, tn, tx, n = jax.lax.associative_scan(
-        op, (flags, rq, rq, rt, rt, ro), axis=1)
-    return rev(qn), rev(qx), rev(tn), rev(tx), rev(n)
-
 
 def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
                      min_chain_score, max_hits, overflow):
     """Shared mapping tail: global (key, diag) sort, band segmentation,
     per-segment stats, hit compaction (semantics of the host path's
-    chaining — ``pipeline.mapper.map_read``)."""
+    chaining — ``pipeline.mapper.map_read``).
+
+    Per-segment reductions are single-HLO scatter reductions
+    (``jax.ops.segment_*`` over flattened ``read*S + seg_id`` ids)
+    rather than ``associative_scan``s: the scans unroll into ~170 wide
+    slice/concat ops whose server-side fusion cost explodes with width
+    (1165 s compile at 16384 slots, measured round 3), while the
+    scatter form compiles in seconds and reads back per-position via
+    one flat gather per statistic.
+    """
     R, S = key.shape
 
     # global per-read sort by ((unitig, strand), diagonal).  Payloads
@@ -371,20 +332,34 @@ def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
     new_seg = (key != prev_key) | (diag - prev_diag > bandwidth)
     new_seg = new_seg.at[:, 0].set(True)
 
-    ones = valid.astype(jnp.int32)
-    q_min, q_max, t_min, t_max, seg_n = _seg_stats_to_starts(
-        aq, at, ones, new_seg)
+    # global segment ids: invalid slots sort last (key == I32_MAX) and
+    # always start their own segments, so no valid segment contains an
+    # invalid slot and vice versa
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32), axis=1) - 1
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (R, S), 0)
+    gseg = (r_idx * S + seg_id).reshape(-1)
+    NS = R * S
+    flat = lambda x: x.reshape(-1)
+    by_seg = lambda tbl: tbl[gseg].reshape(R, S)
+
+    q_min = by_seg(jax.ops.segment_min(flat(aq), gseg, num_segments=NS))
+    q_max = by_seg(jax.ops.segment_max(flat(aq), gseg, num_segments=NS))
+    t_min = by_seg(jax.ops.segment_min(flat(at), gseg, num_segments=NS))
+    t_max = by_seg(jax.ops.segment_max(flat(at), gseg, num_segments=NS))
+    seg_n = by_seg(jax.ops.segment_sum(
+        flat(valid.astype(jnp.int32)), gseg, num_segments=NS))
 
     # covered read bases: re-sort segments by t (seg ids are sorted, so
     # each segment keeps its slot range), clip gaps at k
-    seg_id = jnp.cumsum(new_seg.astype(jnp.int32), axis=1) - 1
     seg_id2, t2 = jax.lax.sort((seg_id, at), dimension=1, num_keys=2)
     prev_seg2 = jnp.concatenate(
         [jnp.full((R, 1), -1, seg_id2.dtype), seg_id2[:, :-1]], axis=1)
     first2 = seg_id2 != prev_seg2
     prev_t2 = jnp.concatenate([t2[:, :1], t2[:, :-1]], axis=1)
     gaps = jnp.where(first2, 0, jnp.minimum(t2 - prev_t2, k))
-    covered = k + _seg_reduce_to_starts(gaps, first2, jnp.add)
+    gseg2 = (r_idx * S + seg_id2).reshape(-1)
+    covered = k + by_seg(jax.ops.segment_sum(
+        flat(gaps), gseg2, num_segments=NS))
 
     ok = (
         new_seg & valid

@@ -61,8 +61,10 @@ def main() -> None:
     print(f"[tpu_map] host map_all: {host_s:.1f}s "
           f"({n_reads/host_s:.0f} reads/s)", flush=True)
 
-    # first device pass: includes the one-time remote compile
+    # first device pass: one-time remote compile OR a persistent-cache
+    # executable load (utils/aot_cache.py) in a fresh process
     import muchsalsa_tpu.pipeline.mapper as _mapper
+    from muchsalsa_tpu.utils import aot_cache
     _orig = _mapper.map_all_with_device
     def _capped(index, reads, cfg, **kw):
         kw.update(max_pos=max_pos, max_per_hit=max_per_hit)
@@ -70,22 +72,38 @@ def main() -> None:
     _mapper.map_all_with_device = _capped
     print(f"[tpu_map] device budgets: max_pos={max_pos} max_per_hit={max_per_hit}",
           flush=True)
+    aot_cache.reset_cache_stats()
     t0 = time.perf_counter()
     dev = map_all(index, reads, cfg, device=True)
     cold_s = time.perf_counter() - t0
-    print(f"[tpu_map] device map_all (cold, incl. compile): {cold_s:.1f}s",
+    print(f"[tpu_map] device map_all (first pass in process): {cold_s:.1f}s "
+          f"({n_reads/cold_s:.0f} reads/s) aot_cache={aot_cache.cache_stats()}",
           flush=True)
     assert dev == host, "device PAF diverged from host"
     print("[tpu_map] PARITY: PASS (device PAF == host PAF)", flush=True)
 
-    # steady state: compile is cached in-process now
+    # steady state: executables + device-resident read batches reused
     t0 = time.perf_counter()
     dev2 = map_all(index, reads, cfg, device=True)
     warm_s = time.perf_counter() - t0
     assert dev2 == host
-    print(f"[tpu_map] device map_all (warm): {warm_s:.1f}s "
+    print(f"[tpu_map] device map_all (warm, reads resident): {warm_s:.1f}s "
           f"({n_reads/warm_s:.0f} reads/s, {host_s/warm_s:.1f}x host)",
           flush=True)
+
+    # fresh-shipment pass: same executables, reads re-uploaded (what a
+    # NEW read set costs in steady state)
+    for _rid, _ in reads.items():
+        pass
+    if hasattr(reads, "_dev_batch_cache"):
+        reads._dev_batch_cache.clear()
+    t0 = time.perf_counter()
+    dev3 = map_all(index, reads, cfg, device=True)
+    ship_s = time.perf_counter() - t0
+    assert dev3 == host
+    print(f"[tpu_map] device map_all (warm exe, fresh read shipment): "
+          f"{ship_s:.1f}s ({n_reads/ship_s:.0f} reads/s, "
+          f"{host_s/ship_s:.1f}x host)", flush=True)
 
 
 if __name__ == "__main__":
