@@ -399,7 +399,7 @@ def map_all_with_device(
     cfg: MapperConfig,
     batch_reads: int = 256,
     max_pos: int = 4096,
-    max_per_hit: int = 16,
+    max_per_hit: int = 4,
     max_hits: int = 64,
 ) -> list[tuple[int, list[Mapping]]]:
     """Map every read on the device (ops/mapping_jax.py), falling back
@@ -407,6 +407,13 @@ def map_all_with_device(
     budgets (``overflow``).  Results are identical to per-read
     :func:`map_read`.  Reads are length-bucketed (pad to the next power
     of two) to bound recompiles.
+
+    ``max_per_hit=4`` is the compile-economics sweet spot on the remote
+    backend: the anchor-expansion jit costs ~2 min server compile per
+    length bucket (once ever, utils/aot_cache.py) vs ~19 min at 16
+    (measured round 3); reads touching minimizers with more than 4
+    index entries overflow to the host path, which preserves exactness
+    at any budget.
 
     Uses the packed-row v2 join (``map_reads_device_v2``) when the index
     fits its packing bounds (it virtually always does), and shards read
