@@ -29,7 +29,13 @@ import pickle
 import tempfile
 from pathlib import Path
 
-_STATS = {"hits": 0, "misses": 0, "errors": 0, "disabled": 0}
+_STATS = {"hits": 0, "misses": 0, "errors": 0, "disabled": 0,
+          "memo_hits": 0}
+# in-process memo of loaded/compiled executables: deserialize_and_load
+# costs ~0.5 s per call on the tunnel backend, so repeated batches must
+# not re-load the blob from disk (measured: 58 re-loads added ~30 s to
+# a 7.7k-read mapping pass)
+_MEMO: dict[str, object] = {}
 
 
 def cache_stats() -> dict:
@@ -134,14 +140,20 @@ def cached_compile(jit_fn, args: tuple, static_kwargs: dict):
             deserialize_and_load, serialize)
 
         key = _cache_key(jit_fn, args, static_kwargs)
+        memo = _MEMO.get(key)
+        if memo is not None:
+            _STATS["memo_hits"] += 1
+            return memo
         path = cache_dir() / f"{key}.pkl"
         if path.is_file():
             with open(path, "rb") as fh:
                 blob, in_tree, out_tree = pickle.load(fh)
             loaded = deserialize_and_load(blob, in_tree, out_tree)
             _STATS["hits"] += 1
+            _MEMO[key] = loaded
             return loaded
         compiled = jit_fn.lower(*args, **static_kwargs).compile()
+        _MEMO[key] = compiled
         try:
             blob, in_tree, out_tree = serialize(compiled)
             path.parent.mkdir(parents=True, exist_ok=True)

@@ -23,7 +23,11 @@ def main():
     coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 12.0
     out = Path(sys.argv[3]) if len(sys.argv) > 3 else Path("/tmp/scale_run")
     illu_cov = float(sys.argv[4]) if len(sys.argv) > 4 else 30.0
-    device_map = "--device-map" in sys.argv
+    # tri-state device placement: default auto (device stages when an
+    # accelerator is attached); --host forces the all-host pipeline,
+    # --device-map forces just the map stages on
+    device_map = True if "--device-map" in sys.argv else None
+    device_all_off = "--host" in sys.argv
     out.mkdir(parents=True, exist_ok=True)
 
     rng = np.random.default_rng(1234)
@@ -61,7 +65,9 @@ def main():
     t0 = time.perf_counter()
     final = run_full_pipeline(
         str(illu1), str(illu2), str(nano), str(out / "full_out"), Config(),
-        device_map=device_map,
+        device_map=False if device_all_off else device_map,
+        device_kmer=False if device_all_off else None,
+        device_scrub=False if device_all_off else None,
     )
     total = time.perf_counter() - t0
     print(f"[scale_run] full pipeline: {total:.1f}s")

@@ -25,9 +25,19 @@ def test_cached_call_round_trip(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
     stats = aot_cache.cache_stats()
     assert stats["misses"] >= 1
-    # second identical call must load the serialized executable (or, on
-    # a platform without executable serialization, record the failure
-    # and fall back — results above are asserted identical either way)
+    # second identical call must reuse the executable — via the
+    # in-process memo or the serialized blob (or, on a platform without
+    # executable serialization, record the failure and fall back —
+    # results above are asserted identical either way)
+    assert (stats["memo_hits"] >= 1 or stats["hits"] >= 1
+            or stats["errors"] >= 1)
+
+    # a fresh "process" (cleared memo) must load the on-disk blob
+    aot_cache._MEMO.clear()
+    aot_cache.reset_cache_stats()
+    out3 = aot_cache.cached_call(fn, (x,), {"s": 3})
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out3))
+    stats = aot_cache.cache_stats()
     assert stats["hits"] >= 1 or stats["errors"] >= 1
 
 
@@ -90,6 +100,8 @@ def test_map_all_with_device_through_cache(tmp_path, monkeypatch):
         pytest.skip("executable serialization unavailable here")
     assert first["misses"] >= 1
 
+    # fresh "process": cleared memo -> the on-disk blobs must carry it
+    aot_cache._MEMO.clear()
     aot_cache.reset_cache_stats()
     dev_lines2 = map_all(index, reads, cfg, device=True)
     assert dev_lines2 == host_lines
