@@ -76,6 +76,10 @@ def _load() -> ctypes.CDLL | None:
         lib.ms_fasta_seq_len.restype = i64
         lib.ms_fasta_names_len.restype = i64
         lib.ms_fasta_copy.argtypes = [u8p, i64p, ctypes.c_char_p]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.ms_pack_reads_2bit.argtypes = [
+            u8p, i64p, i64, i64, u32p, u32p, i32p,
+        ]
 
         _lib = lib
         return _lib
@@ -501,3 +505,35 @@ def build_index_native(seqs: list[bytes], ids: np.ndarray, k: int, w: int,
     lib.ms_index_free()
     return (uniq[:n_uniq], offs, unitig[:n_entries], pos[:n_entries],
             strand[:n_entries].astype(bool))
+
+
+def pack_reads_2bit(seqs: list[bytes], L: int, n_rows: int | None = None):
+    """One-pass ASCII -> (packed, nmask, lens) batch build for the
+    device mapper — byte-identical to
+    ``pack_codes(encode_2bit(...))`` over a padded (R, L) batch but
+    without the ~6 numpy passes (ms_native.cpp::ms_pack_reads_2bit).
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or L % 32:
+        return None
+    R = n_rows if n_rows is not None else len(seqs)
+    blob = b"".join(seqs)
+    offs = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=offs[1:])
+    buf = np.frombuffer(blob, dtype=np.uint8) if blob else np.zeros(1, np.uint8)
+    packed = np.zeros((R, L // 16), dtype=np.uint32)
+    nmask = np.zeros((R, L // 32), dtype=np.uint32)
+    lens = np.zeros(R, dtype=np.int32)
+    ct = ctypes
+    lib.ms_pack_reads_2bit(
+        buf.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        offs.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        len(seqs), L,
+        packed.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        nmask.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        lens.ctypes.data_as(ct.POINTER(ct.c_int32)),
+    )
+    if R > len(seqs):
+        # pad rows: every position decodes to the sentinel 4
+        nmask[len(seqs):] = 0xFFFFFFFF
+    return packed, nmask, lens

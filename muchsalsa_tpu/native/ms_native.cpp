@@ -1189,3 +1189,54 @@ void ms_index_free() {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// one-pass 2-bit read packing for the device mapper
+// (mirrors ops/mapping_jax.pack_codes(encode_2bit(seq)) byte-for-byte:
+//  16 bases per uint32 packed word, 32 non-ACGT/pad mask bits per word;
+//  padding beyond each read length decodes to code 4)
+
+extern "C" {
+
+// seqs: concatenated ASCII reads; offs: (n_reads+1) byte offsets.
+// L % 32 == 0.  out_packed: (n_reads, L/16) u32; out_nmask:
+// (n_reads, L/32) u32; out_lens: (n_reads,) i32.  Buffers need not be
+// pre-zeroed.  Replaces ~6 numpy passes over the (R, L) uint8 batch
+// with one read of the ASCII and one write of the packed words — the
+// host-side batch build dominated the device pass on low-DRAM hosts
+// (172 s of a 262 s E. coli mapping pass, measured round 3).
+void ms_pack_reads_2bit(const uint8_t *seqs, const int64_t *offs,
+                        int64_t n_reads, int64_t L, uint32_t *out_packed,
+                        uint32_t *out_nmask, int32_t *out_lens) {
+  const uint8_t *table = encode_table();
+  const int64_t W = L / 16;   // packed words per read
+  const int64_t M = L / 32;   // mask words per read
+  for (int64_t r = 0; r < n_reads; ++r) {
+    const uint8_t *s = seqs + offs[r];
+    int64_t n = offs[r + 1] - offs[r];
+    if (n > L) n = L;
+    out_lens[r] = static_cast<int32_t>(n);
+    uint32_t *pw = out_packed + r * W;
+    uint32_t *mw = out_nmask + r * M;
+    for (int64_t w = 0; w < W; ++w) {
+      uint32_t packed = 0;
+      uint32_t nbits = 0;
+      const int64_t base0 = w * 16;
+      const int64_t lim = (n - base0) < 16 ? (n - base0) : 16;
+      for (int64_t j = 0; j < lim; ++j) {
+        const uint8_t c = table[s[base0 + j]];
+        packed |= static_cast<uint32_t>(c & 3) << (2 * j);
+        nbits |= static_cast<uint32_t>(c >> 2) << j;  // c==4 -> bit
+      }
+      for (int64_t j = lim < 0 ? 0 : lim; j < 16; ++j)
+        nbits |= 1u << j;  // pad positions decode to 4
+      pw[w] = packed;
+      if (w & 1)
+        mw[w >> 1] |= nbits << 16;
+      else
+        mw[w >> 1] = nbits;
+    }
+  }
+}
+
+}  // extern "C"

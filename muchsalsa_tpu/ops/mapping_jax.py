@@ -307,13 +307,19 @@ def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
     per-segment stats, hit compaction (semantics of the host path's
     chaining — ``pipeline.mapper.map_read``).
 
-    Per-segment reductions are single-HLO scatter reductions
-    (``jax.ops.segment_*`` over flattened ``read*S + seg_id`` ids)
-    rather than ``associative_scan``s: the scans unroll into ~170 wide
-    slice/concat ops whose server-side fusion cost explodes with width
-    (1165 s compile at 16384 slots, measured round 3), while the
-    scatter form compiles in seconds and reads back per-position via
-    one flat gather per statistic.
+    Per-segment reductions use RANGE ARITHMETIC over the sorted layout
+    instead of ``associative_scan``s or scatters: segments are
+    contiguous slot ranges after the sort, and the range of segment i
+    is IDENTICAL in any re-sort keyed by (seg_id, x) — so per-position
+    first/last slot indices come from native ``lax.cummax``/``cummin``
+    (single HLO each), segment sums from ``cumsum`` differences, and
+    segment min/max from gathering a (seg_id, value)-sorted array at
+    the first/last slots.  Rationale (measured round 3, real chip):
+    the scan form unrolls into ~170 wide slice ops whose server-side
+    fusion cost explodes (1165 s compile at 16384 slots); the scatter
+    form (``jax.ops.segment_*``) compiles in seconds but executes at
+    ~0.5 s/batch (TPU scatters serialize); this form compiles in
+    seconds AND executes at sort speed.
     """
     R, S = key.shape
 
@@ -331,35 +337,35 @@ def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
     prev_diag = jnp.concatenate([diag[:, :1], diag[:, :-1]], axis=1)
     new_seg = (key != prev_key) | (diag - prev_diag > bandwidth)
     new_seg = new_seg.at[:, 0].set(True)
+    last_seg = jnp.concatenate(
+        [new_seg[:, 1:], jnp.ones_like(new_seg[:, :1])], axis=1)
 
-    # global segment ids: invalid slots sort last (key == I32_MAX) and
-    # always start their own segments, so no valid segment contains an
-    # invalid slot and vice versa
+    # per-position first/last slot index of the containing segment.
+    # Invalid slots sort last (key == I32_MAX) and always start their
+    # own segments, so no valid segment contains an invalid slot.
+    firsts = jax.lax.cummax(jnp.where(new_seg, iota, -1), axis=1)
+    ends = jax.lax.cummin(
+        jnp.where(last_seg, iota, _I32_MAX), axis=1, reverse=True)
+    seg_n = ends - firsts + 1
+    at_first = lambda arr: jnp.take_along_axis(arr, firsts, axis=1)
+    at_end = lambda arr: jnp.take_along_axis(arr, ends, axis=1)
+
+    # segment min/max of aq and at: re-sort values by (seg_id, value) —
+    # segment slot ranges are unchanged (seg ids are the primary key),
+    # so the segment's min sits at `firsts` and its max at `ends`
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32), axis=1) - 1
-    r_idx = jax.lax.broadcasted_iota(jnp.int32, (R, S), 0)
-    gseg = (r_idx * S + seg_id).reshape(-1)
-    NS = R * S
-    flat = lambda x: x.reshape(-1)
-    by_seg = lambda tbl: tbl[gseg].reshape(R, S)
+    seg_q, q2 = jax.lax.sort((seg_id, aq), dimension=1, num_keys=2)
+    q_min = at_first(q2)
+    q_max = at_end(q2)
 
-    q_min = by_seg(jax.ops.segment_min(flat(aq), gseg, num_segments=NS))
-    q_max = by_seg(jax.ops.segment_max(flat(aq), gseg, num_segments=NS))
-    t_min = by_seg(jax.ops.segment_min(flat(at), gseg, num_segments=NS))
-    t_max = by_seg(jax.ops.segment_max(flat(at), gseg, num_segments=NS))
-    seg_n = by_seg(jax.ops.segment_sum(
-        flat(valid.astype(jnp.int32)), gseg, num_segments=NS))
-
-    # covered read bases: re-sort segments by t (seg ids are sorted, so
-    # each segment keeps its slot range), clip gaps at k
-    seg_id2, t2 = jax.lax.sort((seg_id, at), dimension=1, num_keys=2)
-    prev_seg2 = jnp.concatenate(
-        [jnp.full((R, 1), -1, seg_id2.dtype), seg_id2[:, :-1]], axis=1)
-    first2 = seg_id2 != prev_seg2
+    # covered read bases: in (seg_id, at) order, sum t-gaps clipped at k
+    seg_t, t2 = jax.lax.sort((seg_id, at), dimension=1, num_keys=2)
+    t_min = at_first(t2)
+    t_max = at_end(t2)
     prev_t2 = jnp.concatenate([t2[:, :1], t2[:, :-1]], axis=1)
-    gaps = jnp.where(first2, 0, jnp.minimum(t2 - prev_t2, k))
-    gseg2 = (r_idx * S + seg_id2).reshape(-1)
-    covered = k + by_seg(jax.ops.segment_sum(
-        flat(gaps), gseg2, num_segments=NS))
+    gaps = jnp.where(iota == firsts, 0, jnp.minimum(t2 - prev_t2, k))
+    cg = jnp.cumsum(gaps, axis=1)
+    covered = k + at_end(cg) - at_first(cg)
 
     ok = (
         new_seg & valid
@@ -616,6 +622,55 @@ def anchors_to_hits_device(
     return _anchors_to_hits(
         key, diag, aq, at, k, bandwidth, min_anchor_count,
         min_chain_score, max_hits, overflow)
+
+
+HIT_FIELDS = ("unitig", "strand", "qs", "qe", "ts", "te", "matches",
+              "n_anchors")
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "bandwidth", "min_anchor_count", "min_chain_score", "max_hits"))
+def anchors_to_hits_device_packed(
+    key: jnp.ndarray,
+    diag: jnp.ndarray,
+    aq: jnp.ndarray,
+    at: jnp.ndarray,
+    overflow: jnp.ndarray,
+    k: int = 15,
+    bandwidth: int = 500,
+    min_anchor_count: int = 4,
+    min_chain_score: int = 100,
+    max_hits: int = 64,
+):
+    """:func:`anchors_to_hits_device` with the result packed into ONE
+    (R, 8*max_hits + 2) int32 array — [HIT_FIELDS x max_hits | n_hits |
+    overflow].  One d2h transfer per batch instead of ten: each
+    transfer pays ~20 ms tunnel latency (measured: the ten-array dict
+    cost 7.4 s of a 26 s warm pass)."""
+    out = _anchors_to_hits(
+        key, diag, aq, at, k, bandwidth, min_anchor_count,
+        min_chain_score, max_hits, overflow)
+    R = key.shape[0]
+    head = jnp.stack([out[f].astype(jnp.int32) for f in HIT_FIELDS],
+                     axis=1).reshape(R, 8 * max_hits)
+    tail = jnp.stack(
+        [out["n_hits"].astype(jnp.int32), out["overflow"].astype(jnp.int32)],
+        axis=1)
+    return jnp.concatenate([head, tail], axis=1)
+
+
+def unpack_hits(arr, max_hits: int):
+    """Host-side inverse of :func:`anchors_to_hits_device_packed` ->
+    the :func:`_anchors_to_hits` dict (numpy arrays)."""
+    import numpy as _np
+
+    arr = _np.asarray(arr)
+    R = arr.shape[0]
+    fields = arr[:, : 8 * max_hits].reshape(R, 8, max_hits)
+    out = {f: fields[:, i] for i, f in enumerate(HIT_FIELDS)}
+    out["n_hits"] = arr[:, -2]
+    out["overflow"] = arr[:, -1] != 0
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -423,8 +423,9 @@ def map_all_with_device(
     import jax.numpy as jnp
 
     from muchsalsa_tpu.ops.mapping_jax import (
-        anchors_to_hits_device, build_device_tables, build_join_tables,
-        map_anchors_device_v2_packed, map_reads_device, pack_codes)
+        anchors_to_hits_device_packed, build_device_tables,
+        build_join_tables, map_anchors_device_v2_packed, map_reads_device,
+        pack_codes, unpack_hits)
     from muchsalsa_tpu.utils.aot_cache import cached_call
 
     items = list(reads.items())
@@ -492,13 +493,23 @@ def map_all_with_device(
         if cached is not None:
             return cached
         R = batch_reads
-        codes = np.full((R, L), 4, dtype=np.uint8)
-        lens = np.zeros(R, dtype=np.int32)
-        for i, (_rid, seq) in enumerate(chunk):
-            c = encode_2bit(seq)
-            codes[i, : len(c)] = c
-            lens[i] = len(c)
-        packed, nmask = pack_codes(codes)
+        from muchsalsa_tpu import native
+
+        built_np = native.pack_reads_2bit(
+            [seq for _rid, seq in chunk], L, n_rows=R
+        ) if native.available() else None
+        if built_np is not None:
+            # one-pass ASCII->packed build (no (R, L) uint8 intermediate
+            # — that cost 172 s/pass on a low-DRAM host, BASELINE.md r3)
+            packed, nmask, lens = built_np
+        else:
+            codes = np.full((R, L), 4, dtype=np.uint8)
+            lens = np.zeros(R, dtype=np.int32)
+            for i, (_rid, seq) in enumerate(chunk):
+                c = encode_2bit(seq)
+                codes[i, : len(c)] = c
+                lens[i] = len(c)
+            packed, nmask = pack_codes(codes)
         cached = (jnp.asarray(packed), jnp.asarray(nmask),
                   jnp.asarray(lens))
         dev_cache[key] = cached
@@ -540,7 +551,7 @@ def map_all_with_device(
                 dict(k=cfg.k, w=cfg.w, max_pos=max_pos,
                      max_per_hit=max_per_hit, hash_takes=hash_takes))
             return cached_call(
-                anchors_to_hits_device, tuple(anchors),
+                anchors_to_hits_device_packed, tuple(anchors),
                 dict(k=cfg.k, bandwidth=cfg.bandwidth,
                      min_anchor_count=cfg.min_anchor_count,
                      min_chain_score=cfg.min_chain_score,
@@ -552,6 +563,8 @@ def map_all_with_device(
             dict(join_rounds=rounds, **kw))
 
     def collect(chunk, out):
+        if not isinstance(out, dict):  # packed (R, 8*max_hits+2) array
+            out = unpack_hits(out, max_hits)
         out = {k2: np.asarray(v2) for k2, v2 in out.items()}
         for i, (rid, seq) in enumerate(chunk):
             if out["overflow"][i]:

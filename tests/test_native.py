@@ -255,3 +255,38 @@ def test_native_index_build_matches_python():
     np.testing.assert_array_equal(got.entry_pos, ref.entry_pos)
     np.testing.assert_array_equal(got.entry_strand, ref.entry_strand)
     assert got.unitig_lengths == ref.unitig_lengths
+
+
+def test_pack_reads_2bit_matches_numpy():
+    """Native one-pass batch pack == pack_codes(encode_2bit(...)) over
+    the padded (R, L) batch, including pad rows and non-ACGT bases."""
+    import numpy as np
+    import pytest
+
+    from muchsalsa_tpu import native
+    from muchsalsa_tpu.ops.mapping_jax import pack_codes
+    from muchsalsa_tpu.utils.seq import encode_2bit
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    L = 1024
+    seqs = []
+    for n in (0, 1, 31, 32, 500, 1024):
+        s = rng.choice(list(b"ACGTNacgtn"), size=n).astype(np.uint8).tobytes()
+        seqs.append(s)
+    R = len(seqs) + 2  # two pad rows
+    got = native.pack_reads_2bit(seqs, L, n_rows=R)
+    assert got is not None
+    packed_n, nmask_n, lens_n = got
+
+    codes = np.full((R, L), 4, dtype=np.uint8)
+    lens = np.zeros(R, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        c = encode_2bit(s)
+        codes[i, : len(c)] = c
+        lens[i] = len(c)
+    packed_e, nmask_e = pack_codes(codes)
+    np.testing.assert_array_equal(packed_n, packed_e)
+    np.testing.assert_array_equal(nmask_n, nmask_e)
+    np.testing.assert_array_equal(lens_n, lens)
