@@ -401,25 +401,90 @@ def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
     }
 
 
-def _v2_anchors(
+def _v2_compact(
+    selected: jnp.ndarray,     # (R, Lk) bool from minimizer_sketch
+    h: jnp.ndarray,            # (R, Lk) uint32
+    strand: jnp.ndarray,       # (R, Lk) bool
+    rp: jnp.ndarray,           # DeviceTables.rp
+    max_sel: int = 4608,
+    max_pos: int = 1024,
+):
+    """v2 stage 1b: rank-probe every selected minimizer, then compact
+    the candidates straight to width ``max_pos`` with ONE sort (the
+    two-sort select->P->max_pos cascade composed into a 136 s server
+    compile; this form costs ~a sort + three gathers).  Returns
+    (ckey, h_c, rpv_c, overflow) where ckey packs position*2+strand
+    (invalid slots are _I32_MAX).
+
+    Overflow semantics are unchanged: ``n_selected > min(max_sel, Lk)``
+    or ``n_candidates > max_pos`` flags the read for host fallback, and
+    non-overflow reads see exactly the same candidate set (the old P
+    truncation kept the first P selected positions, which for
+    non-overflow reads is all of them)."""
+    rpv, cand = _v2_probe(selected, h, rp)
+    return _v2_compact2(cand, h, strand, rpv, selected,
+                        max_sel=max_sel, max_pos=max_pos)
+
+
+def _v2_probe(selected, h, rp):
+    """Rank probe: one gather per selected minimizer (its own jit in
+    production — composing the 4M-table gather with the compaction sort
+    multiplies server compile cost ~3x, docs/DESIGN.md 4b)."""
+    bkt = (h >> jnp.uint32(32 - RANK2_LOG2)).astype(jnp.int32)
+    rpv = rp[jnp.where(selected, bkt, 0)]
+    return rpv, selected & (rpv != 0)
+
+
+def _v2_compact2(cand, h, strand, rpv, selected, max_sel=4608,
+                 max_pos=1024):
+    """Compact candidates to (R, max_pos): strand packs into the
+    position key (pos < 2^30); the sort is the ragged->padded idiom."""
+    R, Lk = cand.shape
+    P = min(max_sel, Lk)
+    max_pos = min(max_pos, P)
+    pos_ids = jax.lax.broadcasted_iota(jnp.int32, (R, Lk), 1)
+    ckey = jnp.where(cand, pos_ids * 2 + strand.astype(jnp.int32), _I32_MAX)
+    ckey, cperm = jax.lax.sort((ckey, pos_ids), dimension=1, num_keys=1)
+    ckey = ckey[:, :max_pos]
+    cperm = cperm[:, :max_pos]
+    h_c = jnp.take_along_axis(h, cperm, axis=1)
+    rpv_c = jnp.take_along_axis(rpv, cperm, axis=1)
+
+    n_sel = jnp.sum(selected.astype(jnp.int32), axis=1)
+    n_cand = jnp.sum(cand.astype(jnp.int32), axis=1)
+    overflow = (n_sel > P) | (n_cand > max_pos)
+    return ckey, h_c, rpv_c, overflow
+
+
+def _v2_select(
     codes: jnp.ndarray,        # (R, L) uint8/int32, pad = 4
     lens: jnp.ndarray,         # (R,)
     rp: jnp.ndarray,           # DeviceTables.rp
-    jrows: jnp.ndarray,        # DeviceTables.jrows
-    erows: jnp.ndarray,        # DeviceTables.erows
     k: int = 15,
     w: int = 5,
     max_sel: int = 4608,
     max_pos: int = 1024,
+):
+    """v2 stage 1: minimizer sketch + :func:`_v2_compact`."""
+    selected, h, strand = minimizer_sketch(codes, lens, k, w)  # (R, Lk)
+    return _v2_compact(selected, h, strand, rp, max_sel=max_sel,
+                       max_pos=max_pos)
+
+
+def _v2_expand(
+    ckey: jnp.ndarray,         # (R, max_pos) from _v2_select
+    h_c: jnp.ndarray,
+    rpv_c: jnp.ndarray,
+    overflow: jnp.ndarray,
+    jrows: jnp.ndarray,        # DeviceTables.jrows
+    erows: jnp.ndarray,        # DeviceTables.erows
     max_per_hit: int = 4,
     hash_takes: int = 1,       # from build_device_tables
 ):
-    """v2 sketch + join + expansion: minimizer sketch -> compact
-    selected positions (carrying hash+strand through one sort) ->
-    rank-probe -> compact candidates -> packed-row join -> packed-row
-    entry expansion.  Returns the flat anchor arrays
-    (key, diag, aq, at) of shape (R, max_pos*max_per_hit) plus the
-    overflow flags — input to :func:`_anchors_to_hits`.
+    """v2 stage 2: packed-row join + packed-row entry expansion.
+    Returns the flat anchor arrays (key, diag, aq, at) of shape
+    (R, max_pos*max_per_hit) plus the or-updated overflow flags —
+    input to :func:`_anchors_to_hits`.
 
     Every random access is either one 4-byte rank-probe gather or a
     contiguous 16-word row fetch (``jnp.take(..., axis=0)``), replacing
@@ -429,47 +494,11 @@ def _v2_anchors(
     """
     if max_per_hit >= _CNT_CAP:
         raise ValueError("max_per_hit must be < 31 for the v2 join path")
-    R, L = codes.shape
-    Lk = L - k + 1
+    R, max_pos = ckey.shape
     A = max_per_hit
-    P = min(max_sel, Lk)
-    max_pos = min(max_pos, P)
     S = max_pos * A
     entry_takes = max(1, -(-A // 8))
-
-    selected, h, strand = minimizer_sketch(codes, lens, k, w)  # (R, Lk)
-
-    # -- compact selected minimizers to (R, P), carrying hash+strand.
-    # strand packs into the position key (pos < 2^30); the sort is the
-    # ragged->padded idiom (cheap: rows live in VMEM)
-    pos_ids = jax.lax.broadcasted_iota(jnp.int32, (R, Lk), 1)
-    skey = jnp.where(selected, pos_ids * 2 + strand.astype(jnp.int32), _I32_MAX)
-    skey, h_s = jax.lax.sort((skey, h), dimension=1, num_keys=1)
-    skey = skey[:, :P]
-    h_s = h_s[:, :P]
-    sel_valid = skey < _I32_MAX
-    n_sel = jnp.sum(selected.astype(jnp.int32), axis=1)
-    overflow = n_sel > P
-
-    # -- rank probe: one gather per selected minimizer
-    bkt = (h_s >> jnp.uint32(32 - RANK2_LOG2)).astype(jnp.int32)
-    rpv = rp[jnp.where(sel_valid, bkt, 0)]
-    cand = sel_valid & (rpv != 0)
-
-    # -- compact candidates to (R, max_pos)
-    if max_pos < P:
-        ckey = jnp.where(cand, skey, _I32_MAX)
-        iota_p = jax.lax.broadcasted_iota(jnp.int32, ckey.shape, 1)
-        ckey, cperm = jax.lax.sort((ckey, iota_p), dimension=1, num_keys=1)
-        ckey = ckey[:, :max_pos]
-        cperm = cperm[:, :max_pos]
-        h_c = jnp.take_along_axis(h_s, cperm, axis=1)
-        rpv_c = jnp.take_along_axis(rpv, cperm, axis=1)
-        n_cand = jnp.sum(cand.astype(jnp.int32), axis=1)
-        overflow = overflow | (n_cand > max_pos)
-        cand_v = ckey < _I32_MAX
-    else:
-        ckey, h_c, rpv_c, cand_v = skey, h_s, rpv, cand
+    cand_v = ckey < _I32_MAX
     t_c = jnp.where(cand_v, ckey >> 1, 0)          # anchor read position
     strand_c = (ckey & 1).astype(jnp.int32)
 
@@ -541,6 +570,104 @@ def _v2_anchors(
     at = jnp.where(a_valid, at, 0).reshape(R, S)
 
     return key, diag, aq, at, overflow
+
+
+def _v2_anchors(
+    codes: jnp.ndarray,
+    lens: jnp.ndarray,
+    rp: jnp.ndarray,
+    jrows: jnp.ndarray,
+    erows: jnp.ndarray,
+    k: int = 15,
+    w: int = 5,
+    max_sel: int = 4608,
+    max_pos: int = 1024,
+    max_per_hit: int = 4,
+    hash_takes: int = 1,
+):
+    """v2 sketch + join + expansion (:func:`_v2_select` composed with
+    :func:`_v2_expand`)."""
+    ckey, h_c, rpv_c, overflow = _v2_select(
+        codes, lens, rp, k=k, w=w, max_sel=max_sel, max_pos=max_pos)
+    return _v2_expand(
+        ckey, h_c, rpv_c, overflow, jrows, erows,
+        max_per_hit=max_per_hit, hash_takes=hash_takes)
+
+
+@partial(jax.jit, static_argnames=("k", "w"))
+def sketch_device_packed(
+    packed: jnp.ndarray,
+    nmask: jnp.ndarray,
+    lens: jnp.ndarray,
+    k: int = 15,
+    w: int = 5,
+):
+    """Production jit 1/4 over packed codes: the minimizer sketch.
+    The 4-way split (sketch | compact | expand | tail) exists because
+    whole-program server compile time explodes combinatorially with
+    program size (see docs/DESIGN.md 4b); intermediates stay on the
+    device."""
+    return minimizer_sketch(unpack_codes(packed, nmask), lens, k, w)
+
+
+@jax.jit
+def probe_candidates_device_v2(
+    selected: jnp.ndarray,
+    h: jnp.ndarray,
+    rp: jnp.ndarray,
+):
+    """Production jit 2/5: the rank-table probe."""
+    return _v2_probe(selected, h, rp)
+
+
+@partial(jax.jit, static_argnames=("max_sel", "max_pos"))
+def compact_candidates_device_v2(
+    cand: jnp.ndarray,
+    h: jnp.ndarray,
+    strand: jnp.ndarray,
+    rpv: jnp.ndarray,
+    selected: jnp.ndarray,
+    max_sel: int = 4608,
+    max_pos: int = 1024,
+):
+    """Production jit 3/5: candidate compaction to ``max_pos``."""
+    return _v2_compact2(cand, h, strand, rpv, selected,
+                        max_sel=max_sel, max_pos=max_pos)
+
+
+@partial(jax.jit, static_argnames=("k", "w", "max_sel", "max_pos"))
+def map_select_device_v2_packed(
+    packed: jnp.ndarray,
+    nmask: jnp.ndarray,
+    lens: jnp.ndarray,
+    rp: jnp.ndarray,
+    k: int = 15,
+    w: int = 5,
+    max_sel: int = 4608,
+    max_pos: int = 1024,
+):
+    """Fused jits 1+2 (sketch + compaction) — kept as the semantics
+    reference for tests; production uses the split pair."""
+    return _v2_select(
+        unpack_codes(packed, nmask), lens, rp, k=k, w=w, max_sel=max_sel,
+        max_pos=max_pos)
+
+
+@partial(jax.jit, static_argnames=("max_per_hit", "hash_takes"))
+def expand_anchors_device_v2(
+    ckey: jnp.ndarray,
+    h_c: jnp.ndarray,
+    rpv_c: jnp.ndarray,
+    overflow: jnp.ndarray,
+    jrows: jnp.ndarray,
+    erows: jnp.ndarray,
+    max_per_hit: int = 4,
+    hash_takes: int = 1,
+):
+    """Production jit 2/3: packed-row join + entry expansion."""
+    return _v2_expand(
+        ckey, h_c, rpv_c, overflow, jrows, erows,
+        max_per_hit=max_per_hit, hash_takes=hash_takes)
 
 
 @partial(jax.jit, static_argnames=(

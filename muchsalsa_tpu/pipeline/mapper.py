@@ -424,8 +424,9 @@ def map_all_with_device(
 
     from muchsalsa_tpu.ops.mapping_jax import (
         anchors_to_hits_device_packed, build_device_tables,
-        build_join_tables, map_anchors_device_v2_packed, map_reads_device,
-        pack_codes, unpack_hits)
+        build_join_tables, compact_candidates_device_v2,
+        expand_anchors_device_v2, map_reads_device, pack_codes,
+        probe_candidates_device_v2, sketch_device_packed, unpack_hits)
     from muchsalsa_tpu.utils.aot_cache import cached_call
 
     items = list(reads.items())
@@ -538,18 +539,26 @@ def map_all_with_device(
         if built is not None:
             # 2-bit pack (0.375 bytes/base) — the h2d transfer, not
             # compute, bounds the warm pass on a tunnel-attached TPU.
-            # The pipeline runs as TWO jits (anchors | chaining tail)
-            # because whole-program compile time explodes on the remote
-            # backend (1150 s fused vs ~a minute split at production
-            # shapes); the anchor arrays never leave the device, and
-            # cached_call loads previously serialized executables for
-            # these shapes when they exist (compile-once-ever).
+            # The pipeline runs as FOUR jits (sketch | compact | expand
+            # | tail) because whole-program compile time explodes
+            # combinatorially on the remote backend (docs/DESIGN.md 4b);
+            # intermediates never leave the device, and cached_call
+            # loads previously serialized executables per shape
+            # (compile-once-ever).
+            selected, h, strand = cached_call(
+                sketch_device_packed,
+                (packed_d, nmask_d, lens_d),
+                dict(k=cfg.k, w=cfg.w))
+            rpv, cand = cached_call(
+                probe_candidates_device_v2, (selected, h, tables.rp), {})
+            sel = cached_call(
+                compact_candidates_device_v2,
+                (cand, h, strand, rpv, selected),
+                dict(max_pos=max_pos))
             anchors = cached_call(
-                map_anchors_device_v2_packed,
-                (packed_d, nmask_d, lens_d,
-                 tables.rp, tables.jrows, tables.erows),
-                dict(k=cfg.k, w=cfg.w, max_pos=max_pos,
-                     max_per_hit=max_per_hit, hash_takes=hash_takes))
+                expand_anchors_device_v2,
+                (*sel, tables.jrows, tables.erows),
+                dict(max_per_hit=max_per_hit, hash_takes=hash_takes))
             return cached_call(
                 anchors_to_hits_device_packed, tuple(anchors),
                 dict(k=cfg.k, bandwidth=cfg.bandwidth,

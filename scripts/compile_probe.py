@@ -54,29 +54,45 @@ def main() -> None:
     split = len(sys.argv) > 5 and sys.argv[5] == "split"
     if split:
         from muchsalsa_tpu.ops.mapping_jax import (
-            anchors_to_hits_device, map_anchors_device_v2_packed)
+            anchors_to_hits_device, compact_candidates_device_v2,
+            expand_anchors_device_v2, probe_candidates_device_v2,
+            sketch_device_packed)
 
-        kw_a = dict(k=15, w=5, max_pos=max_pos, max_per_hit=max_per_hit,
-                    hash_takes=hash_takes)
+        kw_e = dict(max_per_hit=max_per_hit, hash_takes=hash_takes)
         kw_b = dict(k=15, bandwidth=2000, min_anchor_count=3,
                     min_chain_score=100)
-        args_a = (jnp.asarray(packed), jnp.asarray(nmask), lens,
-                  tables.rp, tables.jrows, tables.erows)
+        args_k = (jnp.asarray(packed), jnp.asarray(nmask), lens)
         t0 = time.perf_counter()
-        low_a = map_anchors_device_v2_packed.lower(*args_a, **kw_a)
-        comp_a = low_a.compile()
-        t_a = time.perf_counter() - t0
-        anchors = comp_a(*args_a)
+        comp_k = sketch_device_packed.lower(*args_k, k=15, w=5).compile()
+        t_k = time.perf_counter() - t0
+        sketch = comp_k(*args_k)
+        selected, h, strand = sketch
         t0 = time.perf_counter()
-        low_b = anchors_to_hits_device.lower(*anchors, **kw_b)
-        comp_b = low_b.compile()
+        comp_p = probe_candidates_device_v2.lower(
+            selected, h, tables.rp).compile()
+        t_p = time.perf_counter() - t0
+        rpv, cand = comp_p(selected, h, tables.rp)
+        args_c = (cand, h, strand, rpv, selected)
+        t0 = time.perf_counter()
+        comp_c = compact_candidates_device_v2.lower(
+            *args_c, max_pos=max_pos).compile()
+        t_c = time.perf_counter() - t0
+        sel = comp_c(*args_c)
+        args_e = (*sel, tables.jrows, tables.erows)
+        t0 = time.perf_counter()
+        comp_e = expand_anchors_device_v2.lower(*args_e, **kw_e).compile()
+        t_e = time.perf_counter() - t0
+        anchors = comp_e(*args_e)
+        t0 = time.perf_counter()
+        comp_b = anchors_to_hits_device.lower(*anchors, **kw_b).compile()
         t_b = time.perf_counter() - t0
         t0 = time.perf_counter()
         out = comp_b(*anchors)
         n = int(np.asarray(out["n_hits"]).sum())
         t_exec = time.perf_counter() - t0
         print(f"COMPILE-SPLIT R={R} L={L} max_pos={max_pos} A={max_per_hit} "
-              f"S={max_pos*max_per_hit} anchors={t_a:.1f}s tail={t_b:.1f}s "
+              f"S={max_pos*max_per_hit} sketch={t_k:.1f}s probe={t_p:.1f}s "
+              f"compact={t_c:.1f}s expand={t_e:.1f}s tail={t_b:.1f}s "
               f"exec_tail={t_exec:.2f}s hits={n}", flush=True)
         return
 

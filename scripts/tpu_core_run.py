@@ -60,8 +60,13 @@ def main() -> None:
     results = {}
     for label, use_device in (("device", True), ("host", False)):
         cfg = Config()
+        # chain_device_min_problems=0: actually exercise device chaining
+        # at this scale (the size gate exists for cache-cold processes;
+        # with the persistent executable cache the compile is once-ever)
         cfg = dataclasses.replace(
-            cfg, device=dataclasses.replace(cfg.device, use_device=use_device))
+            cfg, device=dataclasses.replace(
+                cfg.device, use_device=use_device,
+                chain_device_min_problems=0))
         t0 = time.perf_counter()
         r = assemble(paths["paf"], paths["unitigs"], paths["reads"],
                      out / label, cfg)
