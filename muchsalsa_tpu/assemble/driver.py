@@ -117,9 +117,14 @@ _WORKER_DIGS: dict = {}
 
 
 def _assembly_worker_count(workers: int | None, n_components: int) -> int:
+    import multiprocessing as _mp
     import os as _os
 
     if n_components < 1:
+        return 1
+    # never nest pools: a spawn worker re-importing an unguarded user
+    # script could otherwise recursively fan out
+    if _mp.parent_process() is not None:
         return 1
     env = _os.environ.get("MS_TPU_ASSEMBLY_WORKERS")
     if env is not None:
@@ -214,6 +219,15 @@ def _make_assembly_pool(n_workers: int, state: dict, tmp_dir):
     import warnings
 
     method = os.environ.get("MS_TPU_ASSEMBLY_START", "spawn")
+    if method == "spawn":
+        # spawn re-imports __main__ in every worker; a parent whose
+        # __main__ is not an importable file (python - <<EOF, embedded
+        # interpreters) would crash-loop the pool — use fork there
+        import sys
+
+        main_file = getattr(sys.modules.get("__main__"), "__file__", None)
+        if main_file is not None and not os.path.isfile(main_file):
+            method = "fork"
     if method == "fork" and "fork" in multiprocessing.get_all_start_methods():
         mp_ctx = multiprocessing.get_context("fork")
         with warnings.catch_warnings():
