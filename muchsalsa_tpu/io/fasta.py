@@ -70,6 +70,9 @@ class SequenceStore:
         self._seqs: dict[int, bytes] = {}
         self._descriptions: dict[int, str] = {}
         self._str_cache: dict[int, str] = {}
+        # bumped on every mutation: device-side packed-batch caches key
+        # on this so a post-mapping add() can't serve stale batches
+        self.version: int = 0
 
     @staticmethod
     def from_file(path: str | Path, registry: Registry | None = None) -> "SequenceStore":
@@ -92,6 +95,7 @@ class SequenceStore:
                         idx = self.registry[name]
                         self._seqs[idx] = blob[offsets[i] : offsets[i + 1]]
                         self._descriptions[idx] = name
+                    self.version += 1
                     return
 
         it = _iter_fastq(data) if fastq else _iter_fasta(data)
@@ -100,12 +104,14 @@ class SequenceStore:
             idx = self.registry[rec_id]
             self._seqs[idx] = seq
             self._descriptions[idx] = header.decode(errors="replace")
+        self.version += 1
 
     def add(self, name: str, seq: bytes | str) -> int:
         idx = self.registry[name]
         self._seqs[idx] = seq.encode() if isinstance(seq, str) else bytes(seq)
         self._descriptions[idx] = name
         self._str_cache.pop(idx, None)
+        self.version += 1
         return idx
 
     def __len__(self) -> int:

@@ -25,6 +25,7 @@ Method:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -484,14 +485,34 @@ def map_all_with_device(
     # pipeline.sh:163,169), and on a tunnel-attached TPU the h2d
     # shipping of read codes bounds the pass. Cache the packed device
     # arrays on the store so reads cross the link once per store.
+    # The cache is keyed on the store's mutation counter (a post-pass
+    # ``add`` shifts bucket membership) and byte-capped with LRU
+    # eviction so large read sets can't exhaust HBM alongside the index
+    # tables (ADVICE r3).
     dev_cache = getattr(reads, "_dev_batch_cache", None)
-    if dev_cache is None:
+    store_version = getattr(reads, "version", 0)
+    if dev_cache is None or getattr(reads, "_dev_batch_version", None) != store_version:
         dev_cache = reads._dev_batch_cache = {}
+        reads._dev_batch_version = store_version
+    cache_cap = int(os.environ.get("MS_TPU_DEV_CACHE_MB", "2048")) << 20
+
+    def _cache_put(key, arrays):
+        nbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrays)
+        if nbytes > cache_cap:
+            return
+        used = sum(sz for _v, sz in dev_cache.values())
+        while dev_cache and used + nbytes > cache_cap:
+            _k, (_v, sz) = next(iter(dev_cache.items()))
+            del dev_cache[_k]
+            used -= sz
+        dev_cache[key] = (arrays, nbytes)
 
     def packed_batch(chunk, L, s):
         key = (L, s, batch_reads)
-        cached = dev_cache.get(key)
-        if cached is not None:
+        hit = dev_cache.get(key)
+        if hit is not None:
+            cached, _sz = dev_cache.pop(key)
+            dev_cache[key] = (cached, _sz)  # LRU: move to back
             return cached
         R = batch_reads
         from muchsalsa_tpu import native
@@ -513,7 +534,7 @@ def map_all_with_device(
             packed, nmask = pack_codes(codes)
         cached = (jnp.asarray(packed), jnp.asarray(nmask),
                   jnp.asarray(lens))
-        dev_cache[key] = cached
+        _cache_put(key, cached)
         return cached
 
     def dispatch(chunk, L, s):

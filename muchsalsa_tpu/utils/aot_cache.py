@@ -76,11 +76,37 @@ def cache_enabled() -> bool:
 
 _CACHE_VERSION = 1
 _SRC_HASHES: dict[str, str] = {}
+_TREE_HASH: str | None = None
+
+
+def _kernel_tree_hash() -> str:
+    """Combined hash of every compute-path source file (``ops/`` +
+    ``utils/`` + ``parallel/``): a cached executable bakes in every
+    transitively-traced module, not just the entry function's, so the
+    key must change when ANY of them is edited (ADVICE r3)."""
+    global _TREE_HASH
+    if _TREE_HASH is not None:
+        return _TREE_HASH
+    h = hashlib.sha256()
+    try:
+        pkg_root = Path(__file__).resolve().parent.parent
+        for sub in ("ops", "utils", "parallel"):
+            d = pkg_root / sub
+            if not d.is_dir():
+                continue
+            for f in sorted(d.glob("*.py")):
+                h.update(f.name.encode())
+                h.update(f.read_bytes())
+        _TREE_HASH = h.hexdigest()[:16]
+    except Exception:
+        _TREE_HASH = "notree"
+    return _TREE_HASH
 
 
 def _source_hash(fn) -> str:
-    """Hash of the module source file defining ``fn`` — edits to the
-    kernel module invalidate its cached executables."""
+    """Hash of the module source defining ``fn`` combined with the
+    kernel-tree hash — editing the entry module OR any transitively
+    traced compute module invalidates its cached executables."""
     mod = getattr(fn, "__module__", "") or ""
     cached = _SRC_HASHES.get(mod)
     if cached is not None:
@@ -92,6 +118,7 @@ def _source_hash(fn) -> str:
         h = hashlib.sha256(src).hexdigest()[:16]
     except Exception:
         h = "nosrc"
+    h = f"{h}.{_kernel_tree_hash()}"
     _SRC_HASHES[mod] = h
     return h
 
@@ -170,14 +197,33 @@ def cached_compile(jit_fn, args: tuple, static_kwargs: dict):
         return None
 
 
+_EXEC_WARNED: set = set()
+
+
 def cached_call(jit_fn, args: tuple, static_kwargs: dict):
     """Invoke ``jit_fn(*args, **static_kwargs)`` through the executable
-    cache, falling back to the plain jit call on any cache failure."""
+    cache, falling back to the plain jit call on any cache failure.
+
+    Execution failures of a loaded executable (as opposed to cache
+    load/compile failures) are logged loudly before the fallback — a
+    genuine runtime error (OOM, sharding mismatch) would otherwise hide
+    behind a silent minutes-long recompile (ADVICE r3)."""
     exe = cached_compile(jit_fn, args, static_kwargs)
     if exe is None:
         return jit_fn(*args, **static_kwargs)
     try:
         return exe(*args)
-    except Exception:
+    except Exception as exc:
         _STATS["errors"] += 1
+        name = f"{getattr(jit_fn, '__module__', '')}." \
+               f"{getattr(jit_fn, '__name__', repr(jit_fn))}"
+        if name not in _EXEC_WARNED:
+            _EXEC_WARNED.add(name)
+            import sys
+
+            print(
+                f"[aot_cache] cached executable for {name} FAILED at run "
+                f"time ({type(exc).__name__}: {exc}); falling back to a "
+                f"fresh jit (may recompile for minutes)",
+                file=sys.stderr, flush=True)
         return jit_fn(*args, **static_kwargs)
