@@ -307,30 +307,35 @@ def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
     per-segment stats, hit compaction (semantics of the host path's
     chaining — ``pipeline.mapper.map_read``).
 
-    Per-segment reductions use RANGE ARITHMETIC over the sorted layout
-    instead of ``associative_scan``s or scatters: segments are
-    contiguous slot ranges after the sort, and the range of segment i
-    is IDENTICAL in any re-sort keyed by (seg_id, x) — so per-position
-    first/last slot indices come from native ``lax.cummax``/``cummin``
-    (single HLO each), segment sums from ``cumsum`` differences, and
-    segment min/max from gathering a (seg_id, value)-sorted array at
-    the first/last slots.  Rationale (measured round 3, real chip):
-    the scan form unrolls into ~170 wide slice ops whose server-side
-    fusion cost explodes (1165 s compile at 16384 slots); the scatter
-    form (``jax.ops.segment_*``) compiles in seconds but executes at
-    ~0.5 s/batch (TPU scatters serialize); this form compiles in
-    seconds AND executes at sort speed.
+    Layout rationale (measured on the chip, rounds 3-4):
+
+    - ``lax.sort`` exec is cheap (0.5-0.7 ms at (256, 4096) even with 4
+      operands) and its once-per-shape compile cost is absorbed by the
+      persistent executable cache (utils/aot_cache.py) — so payloads
+      RIDE THE SORT as extra operands.  Full-width ``take_along_axis``
+      along the lane axis costs ~10 ms per call at (256, 4096) (round
+      4 probe) — the round-3 permutation-gather form spent ~85 of its
+      89 ms tail in eight such gathers.  Gathers whose output is
+      ``max_hits``-narrow are effectively free (0.05 ms), so all
+      remaining gathers happen AFTER hit compaction.
+    - Per-segment reductions use RANGE ARITHMETIC over the sorted
+      layout (segments are contiguous slot ranges, and the range of
+      segment i is identical in any re-sort keyed by (seg_id, x)):
+      ``cummax``/``cummin``/``cumsum`` are single cheap HLOs, the
+      (seg_id, value) re-sorts place each segment's min at its first
+      slot and max at its last, and the covered-bases prefix sum
+      broadcasts from segment ends via a reverse ``cummin`` (valid
+      because the prefix sum is nondecreasing).  ``associative_scan``s
+      explode server compile (1165 s at 16384 slots) and
+      ``jax.ops.segment_*`` scatters execute at ~0.5 s/batch.
     """
     R, S = key.shape
 
-    # global per-read sort by ((unitig, strand), diagonal).  Payloads
-    # ride a permutation gather instead of extra sort operands: sort
-    # compile cost on this backend grows steeply with operand count
-    # (measured 15 s for the 4-operand form vs 5 s for sort3+gathers).
+    # global per-read sort by ((unitig, strand), diagonal), with aq/at
+    # as payload operands (see rationale above)
     iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
-    key, diag, perm = jax.lax.sort((key, diag, iota), dimension=1, num_keys=2)
-    aq = jnp.take_along_axis(aq, perm, axis=1)
-    at = jnp.take_along_axis(at, perm, axis=1)
+    key, diag, aq, at = jax.lax.sort(
+        (key, diag, aq, at), dimension=1, num_keys=2)
     valid = key < _I32_MAX
 
     prev_key = jnp.concatenate([jnp.full((R, 1), -1, key.dtype), key[:, :-1]], axis=1)
@@ -347,25 +352,25 @@ def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
     ends = jax.lax.cummin(
         jnp.where(last_seg, iota, _I32_MAX), axis=1, reverse=True)
     seg_n = ends - firsts + 1
-    at_first = lambda arr: jnp.take_along_axis(arr, firsts, axis=1)
-    at_end = lambda arr: jnp.take_along_axis(arr, ends, axis=1)
 
     # segment min/max of aq and at: re-sort values by (seg_id, value) —
     # segment slot ranges are unchanged (seg ids are the primary key),
-    # so the segment's min sits at `firsts` and its max at `ends`
+    # so the segment's min sits at its first slot and its max at its
+    # last slot; both are read back post-compaction only
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32), axis=1) - 1
-    seg_q, q2 = jax.lax.sort((seg_id, aq), dimension=1, num_keys=2)
-    q_min = at_first(q2)
-    q_max = at_end(q2)
+    _, q2 = jax.lax.sort((seg_id, aq), dimension=1, num_keys=2)
 
-    # covered read bases: in (seg_id, at) order, sum t-gaps clipped at k
-    seg_t, t2 = jax.lax.sort((seg_id, at), dimension=1, num_keys=2)
-    t_min = at_first(t2)
-    t_max = at_end(t2)
+    # covered read bases: in (seg_id, at) order, sum t-gaps clipped at
+    # k.  cg is nondecreasing per row, so the segment-END value
+    # broadcasts back over the whole segment via one reverse cummin —
+    # covered is exact at every segment-FIRST slot (where it is read).
+    _, t2 = jax.lax.sort((seg_id, at), dimension=1, num_keys=2)
     prev_t2 = jnp.concatenate([t2[:, :1], t2[:, :-1]], axis=1)
     gaps = jnp.where(iota == firsts, 0, jnp.minimum(t2 - prev_t2, k))
     cg = jnp.cumsum(gaps, axis=1)
-    covered = k + at_end(cg) - at_first(cg)
+    cg_end = jax.lax.cummin(
+        jnp.where(last_seg, cg, _I32_MAX), axis=1, reverse=True)
+    covered = k + cg_end - cg
 
     ok = (
         new_seg & valid
@@ -374,28 +379,34 @@ def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
     )
 
     # compact surviving segments into max_hits slots (position order =
-    # (key, diag) order, matching the host path's emission order)
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
-    hit_key = jnp.where(ok, slot_ids, _I32_MAX)
+    # (key, diag) order, matching the host path's emission order).
+    # hit_pos slots are segment-first slots, so q2/t2/covered read
+    # there give the segment's q-min/t-min/covered, and at the
+    # segment's end slot its q-max/t-max.
+    hit_key = jnp.where(ok, iota, _I32_MAX)
     hit_pos = jax.lax.sort(hit_key, dimension=1)[:, :max_hits]
     hit_valid = hit_pos < _I32_MAX
     hit_safe = jnp.where(hit_valid, hit_pos, 0)
 
-    gather = lambda arr: jnp.where(
-        hit_valid, jnp.take_along_axis(arr, hit_safe, axis=1), 0)
     n_hits = jnp.sum(ok.astype(jnp.int32), axis=1)
     overflow = overflow | (n_hits > max_hits)
 
-    key_h = jnp.take_along_axis(key, hit_safe, axis=1)
+    take = lambda arr: jnp.take_along_axis(arr, hit_safe, axis=1)
+    ends_h = take(ends)
+    ends_safe = jnp.where(hit_valid, ends_h, 0)
+    take_end = lambda arr: jnp.take_along_axis(arr, ends_safe, axis=1)
+    mask = lambda arr: jnp.where(hit_valid, arr, 0)
+
+    key_h = take(key)
     return {
         "unitig": jnp.where(hit_valid, key_h // 2, 0),
         "strand": jnp.where(hit_valid, key_h % 2, 0),
-        "qs": gather(q_min),
-        "qe": gather(q_max) + jnp.where(hit_valid, k, 0),
-        "ts": gather(t_min),
-        "te": gather(t_max) + jnp.where(hit_valid, k, 0),
-        "matches": gather(covered),
-        "n_anchors": gather(seg_n),
+        "qs": mask(take(q2)),
+        "qe": mask(take_end(q2) + k),
+        "ts": mask(take(t2)),
+        "te": mask(take_end(t2) + k),
+        "matches": mask(take(covered)),
+        "n_anchors": mask(ends_h - hit_pos + 1),
         "n_hits": jnp.minimum(n_hits, max_hits),
         "overflow": overflow,
     }
@@ -409,51 +420,63 @@ def _v2_compact(
     max_sel: int = 4608,
     max_pos: int = 1024,
 ):
-    """v2 stage 1b: rank-probe every selected minimizer, then compact
-    the candidates straight to width ``max_pos`` with ONE sort (the
-    two-sort select->P->max_pos cascade composed into a 136 s server
-    compile; this form costs ~a sort + three gathers).  Returns
-    (ckey, h_c, rpv_c, overflow) where ckey packs position*2+strand
-    (invalid slots are _I32_MAX).
+    """v2 stage 1b: compact the selected minimizers, rank-probe only
+    the compacted slots, then compact the candidates to ``max_pos``.
+    Returns (ckey, h_c, rpv_c, overflow) where ckey packs
+    position*2+strand (invalid slots are _I32_MAX).
 
-    Overflow semantics are unchanged: ``n_selected > min(max_sel, Lk)``
-    or ``n_candidates > max_pos`` flags the read for host fallback, and
-    non-overflow reads see exactly the same candidate set (the old P
-    truncation kept the first P selected positions, which for
-    non-overflow reads is all of them)."""
-    rpv, cand = _v2_probe(selected, h, rp)
-    return _v2_compact2(cand, h, strand, rpv, selected,
-                        max_sel=max_sel, max_pos=max_pos)
+    The probe's table gather costs ~1.7 us per lane column on the chip
+    (round-4 probe: 17.4 ms over Lk=10226 vs 7.8 ms over P=4608), so
+    the selected positions compact FIRST — the probe then touches only
+    ``max_sel`` slots.  Payloads ride the sorts as extra operands:
+    full-width ``take_along_axis`` costs ~10 ms at (256, 4096) while
+    sort operands add ~0.1 ms each (see ``_anchors_to_hits``).
 
-
-def _v2_probe(selected, h, rp):
-    """Rank probe: one gather per selected minimizer (its own jit in
-    production — composing the 4M-table gather with the compaction sort
-    multiplies server compile cost ~3x, docs/DESIGN.md 4b)."""
-    bkt = (h >> jnp.uint32(32 - RANK2_LOG2)).astype(jnp.int32)
-    rpv = rp[jnp.where(selected, bkt, 0)]
-    return rpv, selected & (rpv != 0)
+    Overflow semantics are unchanged vs the probe-everything form:
+    ``n_selected > min(max_sel, Lk)`` or ``n_candidates > max_pos``
+    flags the read for host fallback, and non-overflow reads see
+    exactly the same candidate set (truncation to P keeps the first P
+    selected positions, which for non-overflow reads is all of them)."""
+    skey, h_s, n_sel = _v2_selcompact(selected, h, strand, max_sel=max_sel)
+    rpv, cand = _v2_probe(skey, h_s, rp)
+    return _v2_compact2(skey, h_s, rpv, cand, n_sel, max_pos=max_pos)
 
 
-def _v2_compact2(cand, h, strand, rpv, selected, max_sel=4608,
-                 max_pos=1024):
-    """Compact candidates to (R, max_pos): strand packs into the
-    position key (pos < 2^30); the sort is the ragged->padded idiom."""
-    R, Lk = cand.shape
+def _v2_selcompact(selected, h, strand, max_sel=4608):
+    """Compact selected minimizer slots to (R, P): skey packs
+    position*2+strand (invalid slots _I32_MAX), h rides as payload.
+    Returns (skey, h_s, n_sel)."""
+    R, Lk = selected.shape
     P = min(max_sel, Lk)
-    max_pos = min(max_pos, P)
     pos_ids = jax.lax.broadcasted_iota(jnp.int32, (R, Lk), 1)
-    ckey = jnp.where(cand, pos_ids * 2 + strand.astype(jnp.int32), _I32_MAX)
-    ckey, cperm = jax.lax.sort((ckey, pos_ids), dimension=1, num_keys=1)
-    ckey = ckey[:, :max_pos]
-    cperm = cperm[:, :max_pos]
-    h_c = jnp.take_along_axis(h, cperm, axis=1)
-    rpv_c = jnp.take_along_axis(rpv, cperm, axis=1)
-
+    skey = jnp.where(selected, pos_ids * 2 + strand.astype(jnp.int32),
+                     _I32_MAX)
+    skey, h_s = jax.lax.sort((skey, h), dimension=1, num_keys=1)
     n_sel = jnp.sum(selected.astype(jnp.int32), axis=1)
+    return skey[:, :P], h_s[:, :P], n_sel
+
+
+def _v2_probe(skey, h_s, rp):
+    """Rank probe over the compacted slots: one gather per slot (its
+    own jit in production — composing the 4M-table gather with the
+    compaction sorts multiplies server compile cost ~3x,
+    docs/DESIGN.md 4b)."""
+    valid = skey < _I32_MAX
+    bkt = (h_s >> jnp.uint32(32 - RANK2_LOG2)).astype(jnp.int32)
+    rpv = rp[jnp.where(valid, bkt, 0)]
+    return rpv, valid & (rpv != 0)
+
+
+def _v2_compact2(skey, h_s, rpv, cand, n_sel, max_pos=1024):
+    """Compact candidate slots to (R, max_pos); h and rpv ride the
+    sort as payload operands (no post-sort wide gathers)."""
+    R, P = skey.shape
+    max_pos = min(max_pos, P)
+    ckey = jnp.where(cand, skey, _I32_MAX)
+    ckey, h_c, rpv_c = jax.lax.sort((ckey, h_s, rpv), dimension=1, num_keys=1)
     n_cand = jnp.sum(cand.astype(jnp.int32), axis=1)
     overflow = (n_sel > P) | (n_cand > max_pos)
-    return ckey, h_c, rpv_c, overflow
+    return ckey[:, :max_pos], h_c[:, :max_pos], rpv_c[:, :max_pos], overflow
 
 
 def _v2_select(
@@ -602,37 +625,47 @@ def sketch_device_packed(
     k: int = 15,
     w: int = 5,
 ):
-    """Production jit 1/4 over packed codes: the minimizer sketch.
-    The 4-way split (sketch | compact | expand | tail) exists because
-    whole-program server compile time explodes combinatorially with
-    program size (see docs/DESIGN.md 4b); intermediates stay on the
-    device."""
+    """Production jit 1/6 over packed codes: the minimizer sketch.
+    The 6-way split (sketch | selcompact | probe | compact | expand |
+    tail) exists because whole-program server compile time explodes
+    combinatorially with program size (see docs/DESIGN.md 4b);
+    intermediates stay on the device."""
     return minimizer_sketch(unpack_codes(packed, nmask), lens, k, w)
+
+
+@partial(jax.jit, static_argnames=("max_sel",))
+def select_compact_device_v2(
+    selected: jnp.ndarray,
+    h: jnp.ndarray,
+    strand: jnp.ndarray,
+    max_sel: int = 4608,
+):
+    """Production jit 2/6: compact selected minimizers to ``max_sel``
+    slots (so the probe gathers only over those)."""
+    return _v2_selcompact(selected, h, strand, max_sel=max_sel)
 
 
 @jax.jit
 def probe_candidates_device_v2(
-    selected: jnp.ndarray,
-    h: jnp.ndarray,
+    skey: jnp.ndarray,
+    h_s: jnp.ndarray,
     rp: jnp.ndarray,
 ):
-    """Production jit 2/5: the rank-table probe."""
-    return _v2_probe(selected, h, rp)
+    """Production jit 3/6: the rank-table probe over compacted slots."""
+    return _v2_probe(skey, h_s, rp)
 
 
-@partial(jax.jit, static_argnames=("max_sel", "max_pos"))
+@partial(jax.jit, static_argnames=("max_pos",))
 def compact_candidates_device_v2(
-    cand: jnp.ndarray,
-    h: jnp.ndarray,
-    strand: jnp.ndarray,
+    skey: jnp.ndarray,
+    h_s: jnp.ndarray,
     rpv: jnp.ndarray,
-    selected: jnp.ndarray,
-    max_sel: int = 4608,
+    cand: jnp.ndarray,
+    n_sel: jnp.ndarray,
     max_pos: int = 1024,
 ):
-    """Production jit 3/5: candidate compaction to ``max_pos``."""
-    return _v2_compact2(cand, h, strand, rpv, selected,
-                        max_sel=max_sel, max_pos=max_pos)
+    """Production jit 4/6: candidate compaction to ``max_pos``."""
+    return _v2_compact2(skey, h_s, rpv, cand, n_sel, max_pos=max_pos)
 
 
 @partial(jax.jit, static_argnames=("k", "w", "max_sel", "max_pos"))
@@ -664,7 +697,7 @@ def expand_anchors_device_v2(
     max_per_hit: int = 4,
     hash_takes: int = 1,
 ):
-    """Production jit 2/3: packed-row join + entry expansion."""
+    """Production jit 5/6: packed-row join + entry expansion."""
     return _v2_expand(
         ckey, h_c, rpv_c, overflow, jrows, erows,
         max_per_hit=max_per_hit, hash_takes=hash_takes)

@@ -161,7 +161,8 @@ def run_full_pipeline(
         return store
 
     def map_stage(query_fa: Path, target_fa: Path, out_paf: Path):
-        from muchsalsa_tpu.pipeline.mapper import MinimizerIndex, map_all, write_paf
+        from muchsalsa_tpu.pipeline.mapper import (
+            DEVICE_MAP_STATS, MinimizerIndex, map_all, write_paf)
 
         unitigs = load_store(query_fa)
         reads = load_store(target_fa)
@@ -173,6 +174,17 @@ def run_full_pipeline(
             unitigs=unitigs,
             device=device_map,
         )
+        if device_map and "total_reads" in DEVICE_MAP_STATS:
+            # overflow reads fell back to the exact host mapper — a high
+            # rate means the "device run" quietly became a host run
+            tot = DEVICE_MAP_STATS["total_reads"]
+            ovf = DEVICE_MAP_STATS["overflow_reads"]
+            with open(report, "a") as fh:
+                fh.write(
+                    f"device map {out_paf.name}: {tot - ovf}/{tot} reads on "
+                    f"device, {ovf} overflow->host "
+                    f"({100.0 * ovf / max(tot, 1):.1f}%)\n"
+                )
         # the core parser drops the final PAF line by reference parity:
         # terminate with a sentinel so no real mapping is lost
         write_paf(lines + ["__sentinel__\t1\t0\t1\t+\t__sentinel__\t1\t0\t1\t0\t1\t0"], out_paf)

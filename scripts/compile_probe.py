@@ -56,7 +56,7 @@ def main() -> None:
         from muchsalsa_tpu.ops.mapping_jax import (
             anchors_to_hits_device, compact_candidates_device_v2,
             expand_anchors_device_v2, probe_candidates_device_v2,
-            sketch_device_packed)
+            select_compact_device_v2, sketch_device_packed)
 
         kw_e = dict(max_per_hit=max_per_hit, hash_takes=hash_takes)
         kw_b = dict(k=15, bandwidth=2000, min_anchor_count=3,
@@ -67,12 +67,13 @@ def main() -> None:
         t_k = time.perf_counter() - t0
         sketch = comp_k(*args_k)
         selected, h, strand = sketch
+        skey, h_s, n_sel = select_compact_device_v2(selected, h, strand)
         t0 = time.perf_counter()
         comp_p = probe_candidates_device_v2.lower(
-            selected, h, tables.rp).compile()
+            skey, h_s, tables.rp).compile()
         t_p = time.perf_counter() - t0
-        rpv, cand = comp_p(selected, h, tables.rp)
-        args_c = (cand, h, strand, rpv, selected)
+        rpv, cand = comp_p(skey, h_s, tables.rp)
+        args_c = (skey, h_s, rpv, cand, n_sel)
         t0 = time.perf_counter()
         comp_c = compact_candidates_device_v2.lower(
             *args_c, max_pos=max_pos).compile()

@@ -60,7 +60,7 @@ def main() -> None:
         anchors_to_hits_device_packed, build_device_tables,
         compact_candidates_device_v2, expand_anchors_device_v2,
         map_reads_device_v2, pack_codes, probe_candidates_device_v2,
-        sketch_device_packed)
+        select_compact_device_v2, sketch_device_packed)
 
     print(f"[profile] devices: {jax.devices()} max_pos={max_pos} "
           f"max_per_hit={max_per_hit} R={R}", flush=True)
@@ -97,13 +97,17 @@ def main() -> None:
     (sk, dt) = timed("sketch", sketch_device_packed, packed, nmask, lens, latency=lat)
     total += dt
     selected, h, strand = sk
-    (pr, dt) = timed("probe", probe_candidates_device_v2, selected, h,
+    (sc, dt) = timed("selcompact", select_compact_device_v2, selected, h,
+                     strand, latency=lat)
+    total += dt
+    skey, h_s, n_sel = sc
+    (pr, dt) = timed("probe", probe_candidates_device_v2, skey, h_s,
                      tables.rp, latency=lat)
     total += dt
     rpv, cand = pr
     (sel, dt) = timed(
-        "compact", compact_candidates_device_v2, cand, h, strand, rpv,
-        selected, latency=lat, max_pos=max_pos)
+        "compact", compact_candidates_device_v2, skey, h_s, rpv, cand,
+        n_sel, latency=lat, max_pos=max_pos)
     total += dt
     (anchors, dt) = timed(
         "expand", expand_anchors_device_v2, *sel, tables.jrows, tables.erows,

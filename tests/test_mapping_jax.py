@@ -222,6 +222,39 @@ def test_device_mapper_random_adversarial():
             assert dev["matches"][i, j] == m.matches
 
 
+def test_map_all_with_device_counts_overflow():
+    """Repeat-heavy fixture: reads over a tandem repeat exceed the
+    max_per_hit budget, fall back to the exact host mapper, and the
+    fallback COUNT is recorded in DEVICE_MAP_STATS (VERDICT r3: a
+    device run must not silently become a host run)."""
+    from muchsalsa_tpu.pipeline.mapper import (
+        DEVICE_MAP_STATS, map_all_with_device, map_read)
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    rng = np.random.default_rng(48)
+    rep = random_genome(rng, 400)
+    store = SequenceStore()
+    # the same repeat in many unitigs -> its minimizers have one index
+    # entry per unitig, far beyond max_per_hit=2
+    for i in range(8):
+        g = random_genome(rng, 600)
+        store.add(f"u{i}", g[:200] + rep + g[200:])
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+
+    reads = SequenceStore()
+    for i in range(4):
+        reads.add(f"rep{i}", rep)               # all-repeat: must overflow
+    reads.add("uniq", store.sequence(0)[:180])  # unique prefix: device-mappable
+
+    out = map_all_with_device(index, reads, cfg, max_pos=256, max_per_hit=2)
+    assert DEVICE_MAP_STATS["total_reads"] == 5
+    assert DEVICE_MAP_STATS["overflow_reads"] >= 4
+    # fallback preserved exactness
+    for rid, maps in out:
+        assert maps == map_read(index, reads.sequence(rid), cfg)
+
+
 def test_map_all_with_device_empty():
     from muchsalsa_tpu.pipeline.mapper import map_all_with_device
 
