@@ -300,6 +300,70 @@ def _run_parallel_assembly(
         _ASM_STATE = None
 
 
+def _run_distributed_assembly(
+    ctx, contain_elements, graph, components, lcfg, writer,
+    process_index: int, process_count: int, allgather,
+) -> int:
+    """Cross-PROCESS component fan-out (SURVEY.md §2.5 row 4 — the
+    multi-host form of ``src/main.cpp:303-310``): components round-robin
+    over jax processes, every process linearizes and assembles its
+    share into in-memory buffers, path lists and buffers cross the
+    network through ``allgather`` (``jax_record_allgather``-shaped:
+    list in, merged list out), and every process writes the identical
+    merged output in global path order — byte-equal to the sequential
+    loop.  Graph phases before this point are deterministic replicas in
+    each process, so only path lists and output buffers ever cross the
+    wire."""
+    global _ASM_STATE
+    _ASM_STATE = {
+        "ctx": ctx, "contain": contain_elements, "graph": graph,
+        "components": components, "lcfg": lcfg,
+    }
+    try:
+        _WORKER_DIGS.clear()
+        mine = [i for i in range(len(components))
+                if i % process_count == process_index]
+        local_paths = [(i, _linearize_component(i)) for i in mine]
+        merged = allgather(local_paths)
+        paths_by_comp = dict(merged)
+
+        # deterministic global assembly indices in component order
+        asm_idx = -1
+        tasks = {}
+        for comp_idx in range(len(components)):
+            indexed = []
+            for path in paths_by_comp.get(comp_idx, []):
+                asm_idx += 1
+                indexed.append((asm_idx, path))
+            if indexed:
+                tasks[comp_idx] = indexed
+        n_paths = asm_idx + 1
+
+        local_out = []
+        for comp_idx in mine:
+            if comp_idx in tasks:
+                out, counts = _assemble_component_buffered(
+                    (comp_idx, tasks[comp_idx]))
+                local_out.append((out, counts))
+        gathered = allgather(local_out)
+
+        consensus.reset_fallback_counts()
+        by_idx = {}
+        for out, counts in gathered:
+            for a_idx, q, p, t in out:
+                by_idx[a_idx] = (q, p, t)
+            for name, value in counts.items():
+                consensus.FALLBACK_COUNTS[name] += value
+        for i in range(n_paths):
+            q, p, t = by_idx[i]
+            writer.write_query(q)
+            writer.write_paf(p)
+            writer.write_target(t)
+        return n_paths
+    finally:
+        _ASM_STATE = None
+
+
 def _backend_is_cpu() -> bool:
     """Local-CPU jax compiles are cheap, so the size gate on the device
     chaining path only applies to real accelerators (where compilation
@@ -312,19 +376,26 @@ def _backend_is_cpu() -> bool:
         return False
 
 
-def _driver_mesh(config: Config):
+def _driver_mesh(config: Config, local_only: bool = False):
     """Data-parallel mesh over all attached devices (None when a single
     device is attached) — the driver-side sizing that mirrors the
-    reference sizing its whole run by the thread pool (main.cpp:144)."""
+    reference sizing its whole run by the thread pool (main.cpp:144).
+
+    ``local_only``: under jax.distributed the graph phases are
+    deterministic per-process replicas (only the component fan-out
+    shards), so the mesh must span only this process's addressable
+    devices — a global mesh would yield arrays whose values no single
+    process can fetch."""
     if not config.device.use_device:
         return None
     try:
         import jax
 
-        if len(jax.devices()) > 1:
+        devices = jax.local_devices() if local_only else jax.devices()
+        if len(devices) > 1:
             from muchsalsa_tpu.parallel.mesh import make_mesh
 
-            return make_mesh(axis=config.device.data_axis)
+            return make_mesh(axis=config.device.data_axis, devices=devices)
     except Exception:
         pass
     return None
@@ -338,8 +409,16 @@ def assemble(
     config: Config = DEFAULT_CONFIG,
     timer: StageTimer | None = None,
     workers: int | None = None,
+    process_index: int = 0,
+    process_count: int = 1,
+    allgather=None,
 ) -> dict:
-    """Run the full core assembly; returns summary counters."""
+    """Run the full core assembly; returns summary counters.
+
+    With ``process_count > 1`` (jax.distributed), the per-component
+    assembly fan-out shards across processes (round-robin) and merges
+    through ``allgather`` (see :func:`_run_distributed_assembly`);
+    every process produces the identical byte-equal output files."""
     timer = timer or StageTimer()
     gcfg = config.graph
     out = Path(output_dir)
@@ -373,7 +452,7 @@ def assemble(
         )
         store = MatchStore.from_paf(records)
 
-    mesh = _driver_mesh(config)
+    mesh = _driver_mesh(config, local_only=process_count > 1)
     timer.count("mesh_devices", 0 if mesh is None else mesh.size)
 
     # phase ② placement: large match tables run the all-pairs scaffold
@@ -472,8 +551,15 @@ def assemble(
         )
         components = spanning.connected_components(graph)
         lcfg = config.linearize
-        n_workers = _assembly_worker_count(workers, len(components))
-        if n_workers > 1:
+        if process_count > 1 or allgather is not None:
+            n_workers = 1
+            n_paths = _run_distributed_assembly(
+                ctx, contain_elements, graph, components, lcfg, writer,
+                process_index, process_count,
+                allgather if allgather is not None else (lambda x: x),
+            )
+        elif (n_workers := _assembly_worker_count(
+                workers, len(components))) > 1:
             n_paths = _run_parallel_assembly(
                 ctx, contain_elements, graph, components, lcfg, n_workers,
                 writer,

@@ -302,7 +302,7 @@ def map_reads_device(
 
 
 def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
-                     min_chain_score, max_hits, overflow):
+                     min_chain_score, max_hits, overflow, trim=None):
     """Shared mapping tail: global (key, diag) sort, band segmentation,
     per-segment stats, hit compaction (semantics of the host path's
     chaining — ``pipeline.mapper.map_read``).
@@ -333,9 +333,22 @@ def _anchors_to_hits(key, diag, aq, at, k, bandwidth, min_anchor_count,
 
     # global per-read sort by ((unitig, strand), diagonal), with aq/at
     # as payload operands (see rationale above)
-    iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
     key, diag, aq, at = jax.lax.sort(
         (key, diag, aq, at), dimension=1, num_keys=2)
+
+    if trim is not None and trim < S:
+        # invalid slots (key == I32_MAX) sorted last: truncating to the
+        # first `trim` slots drops only padding whenever the read has
+        # <= trim real anchors (flagged otherwise -> exact host
+        # fallback).  The anchor budget is max_pos*max_per_hit slots
+        # but real anchor counts run ~1.2 per candidate, so the
+        # segment machinery below runs at a fraction of the width.
+        n_anch = jnp.sum((key < _I32_MAX).astype(jnp.int32), axis=1)
+        overflow = overflow | (n_anch > trim)
+        key, diag, aq, at = (a[:, :trim] for a in (key, diag, aq, at))
+        S = trim
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
     valid = key < _I32_MAX
 
     prev_key = jnp.concatenate([jnp.full((R, 1), -1, key.dtype), key[:, :-1]], axis=1)
@@ -765,7 +778,8 @@ def map_anchors_device_v2_packed(
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "bandwidth", "min_anchor_count", "min_chain_score", "max_hits"))
+    "k", "bandwidth", "min_anchor_count", "min_chain_score", "max_hits",
+    "trim"))
 def anchors_to_hits_device(
     key: jnp.ndarray,
     diag: jnp.ndarray,
@@ -777,11 +791,12 @@ def anchors_to_hits_device(
     min_anchor_count: int = 4,
     min_chain_score: int = 100,
     max_hits: int = 64,
+    trim: int | None = None,
 ):
     """Second half of the split v2 mapping pipeline: chaining tail."""
     return _anchors_to_hits(
         key, diag, aq, at, k, bandwidth, min_anchor_count,
-        min_chain_score, max_hits, overflow)
+        min_chain_score, max_hits, overflow, trim=trim)
 
 
 HIT_FIELDS = ("unitig", "strand", "qs", "qe", "ts", "te", "matches",
@@ -789,7 +804,8 @@ HIT_FIELDS = ("unitig", "strand", "qs", "qe", "ts", "te", "matches",
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "bandwidth", "min_anchor_count", "min_chain_score", "max_hits"))
+    "k", "bandwidth", "min_anchor_count", "min_chain_score", "max_hits",
+    "trim"))
 def anchors_to_hits_device_packed(
     key: jnp.ndarray,
     diag: jnp.ndarray,
@@ -801,6 +817,7 @@ def anchors_to_hits_device_packed(
     min_anchor_count: int = 4,
     min_chain_score: int = 100,
     max_hits: int = 64,
+    trim: int | None = None,
 ):
     """:func:`anchors_to_hits_device` with the result packed into ONE
     (R, 8*max_hits + 2) int32 array — [HIT_FIELDS x max_hits | n_hits |
@@ -809,7 +826,7 @@ def anchors_to_hits_device_packed(
     cost 7.4 s of a 26 s warm pass)."""
     out = _anchors_to_hits(
         key, diag, aq, at, k, bandwidth, min_anchor_count,
-        min_chain_score, max_hits, overflow)
+        min_chain_score, max_hits, overflow, trim=trim)
     R = key.shape[0]
     head = jnp.stack([out[f].astype(jnp.int32) for f in HIT_FIELDS],
                      axis=1).reshape(R, 8 * max_hits)
@@ -817,6 +834,68 @@ def anchors_to_hits_device_packed(
         [out["n_hits"].astype(jnp.int32), out["overflow"].astype(jnp.int32)],
         axis=1)
     return jnp.concatenate([head, tail], axis=1)
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "bandwidth", "min_anchor_count", "min_chain_score", "max_hits",
+    "trim", "budget"))
+def anchors_to_hits_device_dense(
+    key: jnp.ndarray,
+    diag: jnp.ndarray,
+    aq: jnp.ndarray,
+    at: jnp.ndarray,
+    overflow: jnp.ndarray,
+    k: int = 15,
+    bandwidth: int = 500,
+    min_anchor_count: int = 4,
+    min_chain_score: int = 100,
+    max_hits: int = 64,
+    trim: int | None = None,
+    budget: int | None = None,
+):
+    """Chaining tail with a DENSE d2h layout: real hits average ~7 per
+    read while the padded (R, 8*max_hits+2) layout ships 514 words per
+    read — and the tunnel's d2h (~10 MB/s measured warm) is the
+    single largest term of the warm pass (BASELINE.md round 4).  Packs
+    the batch's hits into ``budget`` (default 16*R) flat rows.
+
+    Returns (dense, meta):
+      dense: (budget, 9) int32 rows [flat_slot | unitig | strand | qs |
+             qe | ts | te | matches | n_anchors], hits in
+             (read, hit-slot) order, ``flat_slot = rid*max_hits+slot``
+             (_I32_MAX rows = padding);
+      meta:  (R, 2) int32 [n_hits | overflow].
+
+    If the batch's total hits exceed ``budget`` the caller must re-pull
+    via the padded tail (detectable host-side: sum(min(n_hits,
+    max_hits)) > budget); per-read semantics are unchanged.
+    """
+    out = _anchors_to_hits(
+        key, diag, aq, at, k, bandwidth, min_anchor_count,
+        min_chain_score, max_hits, overflow, trim=trim)
+    R = key.shape[0]
+    B = budget if budget is not None else 16 * R
+    F = R * max_hits
+    slot = jax.lax.broadcasted_iota(jnp.int32, (R, max_hits), 1)
+    hit_valid = slot < out["n_hits"][:, None]
+    flat_key = jnp.where(
+        hit_valid,
+        jax.lax.broadcasted_iota(jnp.int32, (R, max_hits), 0) * max_hits
+        + slot,
+        _I32_MAX,
+    ).reshape(F)
+    pos = jax.lax.sort(flat_key, dimension=0)[:B]
+    safe = jnp.where(pos < _I32_MAX, pos, 0)
+    cols = [pos] + [
+        jnp.where(pos < _I32_MAX,
+                  out[f].astype(jnp.int32).reshape(F)[safe], 0)
+        for f in HIT_FIELDS
+    ]
+    dense = jnp.stack(cols, axis=1)
+    meta = jnp.stack(
+        [out["n_hits"].astype(jnp.int32), out["overflow"].astype(jnp.int32)],
+        axis=1)
+    return dense, meta
 
 
 def unpack_hits(arr, max_hits: int):

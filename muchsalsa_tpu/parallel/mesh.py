@@ -14,8 +14,10 @@ import jax
 from jax.sharding import Mesh
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "reads") -> Mesh:
-    devices = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "reads",
+              devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))

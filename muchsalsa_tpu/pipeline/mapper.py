@@ -402,6 +402,7 @@ def map_all_with_device(
     max_pos: int = 4096,
     max_per_hit: int = 4,
     max_hits: int = 64,
+    hit_budget: int | None = None,
 ) -> list[tuple[int, list[Mapping]]]:
     """Map every read on the device (ops/mapping_jax.py), falling back
     to the host path for reads whose anchors exceed the static device
@@ -424,11 +425,11 @@ def map_all_with_device(
     import jax.numpy as jnp
 
     from muchsalsa_tpu.ops.mapping_jax import (
-        anchors_to_hits_device_packed, build_device_tables,
-        build_join_tables, compact_candidates_device_v2,
-        expand_anchors_device_v2, map_reads_device, pack_codes,
-        probe_candidates_device_v2, select_compact_device_v2,
-        sketch_device_packed, unpack_hits)
+        anchors_to_hits_device_dense, anchors_to_hits_device_packed,
+        build_device_tables, build_join_tables,
+        compact_candidates_device_v2, expand_anchors_device_v2,
+        map_reads_device, pack_codes, probe_candidates_device_v2,
+        select_compact_device_v2, sketch_device_packed, unpack_hits)
     from muchsalsa_tpu.utils.aot_cache import cached_call
 
     items = list(reads.items())
@@ -452,7 +453,16 @@ def map_all_with_device(
     DEVICE_MAP_STATS.update(
         n_devices=len(devices), meshed=mesh is not None,
         batch_reads=batch_reads, v2=built is not None,
-        total_reads=len(items), overflow_reads=0)
+        total_reads=len(items), overflow_reads=0, dense_repulls=0)
+    # anchor-slot trim + dense hit budget: real anchor counts run ~1.2
+    # per candidate position (vs the max_per_hit=4 worst case) and real
+    # hits ~7 per read (vs max_hits padded slots); both trims are
+    # exactness-preserving (overflow -> host fallback / padded re-pull)
+    # and cut the warm-pass d2h, the dominant term on a tunnel-attached
+    # chip (BASELINE.md round 4)
+    trim = 2 * max_pos if max_per_hit > 2 else None
+    if hit_budget is None:
+        hit_budget = 16 * batch_reads
     if built is not None:
         tables, hash_takes = built
     else:
@@ -584,12 +594,15 @@ def map_all_with_device(
                 expand_anchors_device_v2,
                 (*sel, tables.jrows, tables.erows),
                 dict(max_per_hit=max_per_hit, hash_takes=hash_takes))
-            return cached_call(
-                anchors_to_hits_device_packed, tuple(anchors),
+            dense, meta = cached_call(
+                anchors_to_hits_device_dense, tuple(anchors),
                 dict(k=cfg.k, bandwidth=cfg.bandwidth,
                      min_anchor_count=cfg.min_anchor_count,
                      min_chain_score=cfg.min_chain_score,
-                     max_hits=max_hits))
+                     max_hits=max_hits, trim=trim, budget=hit_budget))
+            # anchors ride along so a budget-exceeding batch (rare) can
+            # re-pull through the padded tail without recomputing
+            return ("dense", dense, meta, anchors)
         return cached_call(
             map_reads_device,
             (jnp.asarray(codes), jnp.asarray(lens), *idx_dev,
@@ -597,6 +610,40 @@ def map_all_with_device(
             dict(join_rounds=rounds, **kw))
 
     def collect(chunk, out):
+        if isinstance(out, tuple) and out and out[0] == "dense":
+            _tag, dense, meta, anchors = out
+            meta_np = np.asarray(meta)
+            n_hits = meta_np[:, 0]
+            ovf = meta_np[:, 1] != 0
+            counts = np.minimum(n_hits, max_hits)
+            if int(counts.sum()) <= hit_budget:
+                dense_np = np.asarray(dense)
+                offs = np.zeros(len(counts) + 1, dtype=np.int64)
+                np.cumsum(counts, out=offs[1:])
+                for i, (rid, seq) in enumerate(chunk):
+                    if ovf[i]:
+                        DEVICE_MAP_STATS["overflow_reads"] += 1
+                        results[rid] = map_read(index, seq, cfg)
+                        continue
+                    rows = dense_np[offs[i] : offs[i + 1]]
+                    results[rid] = [
+                        Mapping(
+                            unitig=int(r[1]), strand=bool(r[2]),
+                            q_start=int(r[3]), q_end=int(r[4]),
+                            t_start=int(r[5]), t_end=int(r[6]),
+                            matches=int(r[7]), n_anchors=int(r[8]),
+                        )
+                        for r in rows
+                    ]
+                return
+            # batch exceeded the dense budget: re-pull the padded tail
+            DEVICE_MAP_STATS["dense_repulls"] += 1
+            out = cached_call(
+                anchors_to_hits_device_packed, tuple(anchors),
+                dict(k=cfg.k, bandwidth=cfg.bandwidth,
+                     min_anchor_count=cfg.min_anchor_count,
+                     min_chain_score=cfg.min_chain_score,
+                     max_hits=max_hits, trim=trim))
         if not isinstance(out, dict):  # packed (R, 8*max_hits+2) array
             out = unpack_hits(out, max_hits)
         out = {k2: np.asarray(v2) for k2, v2 in out.items()}

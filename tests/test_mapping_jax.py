@@ -255,6 +255,39 @@ def test_map_all_with_device_counts_overflow():
         assert maps == map_read(index, reads.sequence(rid), cfg)
 
 
+def test_map_all_with_device_dense_budget_repull(monkeypatch):
+    """A batch whose hits exceed the dense d2h budget must re-pull via
+    the padded tail with identical results (and count the re-pull).
+    Pinned to one device: the meshed path uses the padded tail."""
+    import jax
+
+    from muchsalsa_tpu.pipeline.mapper import (
+        DEVICE_MAP_STATS, map_all_with_device)
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [dev0])
+
+    rng = np.random.default_rng(49)
+    store = SequenceStore()
+    for i in range(12):
+        store.add(f"u{i}", random_genome(rng, 700))
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+
+    reads = SequenceStore()
+    for i in range(12):
+        reads.add(f"r{i}", store.sequence(i)[50:650])
+
+    roomy = map_all_with_device(index, reads, cfg, max_pos=256,
+                                max_per_hit=4)
+    assert DEVICE_MAP_STATS["dense_repulls"] == 0
+    tight = map_all_with_device(index, reads, cfg, max_pos=256,
+                                max_per_hit=4, hit_budget=2)
+    assert DEVICE_MAP_STATS["dense_repulls"] >= 1
+    assert tight == roomy
+
+
 def test_map_all_with_device_empty():
     from muchsalsa_tpu.pipeline.mapper import map_all_with_device
 
