@@ -869,6 +869,11 @@ def anchors_to_hits_device_dense(
     If the batch's total hits exceed ``budget`` the caller must re-pull
     via the padded tail (detectable host-side: sum(min(n_hits,
     max_hits)) > budget); per-read semantics are unchanged.
+
+    Everything returns as ONE flat (2R + 9*budget,) int32 array
+    [n_hits (R) | overflow (R) | dense rows row-major]: each d2h
+    transfer through the tunnel pays ~25 ms of round-trip latency, so
+    a separate meta pull would cost more than the bytes it saves.
     """
     out = _anchors_to_hits(
         key, diag, aq, at, k, bandwidth, min_anchor_count,
@@ -892,10 +897,11 @@ def anchors_to_hits_device_dense(
         for f in HIT_FIELDS
     ]
     dense = jnp.stack(cols, axis=1)
-    meta = jnp.stack(
-        [out["n_hits"].astype(jnp.int32), out["overflow"].astype(jnp.int32)],
-        axis=1)
-    return dense, meta
+    return jnp.concatenate([
+        out["n_hits"].astype(jnp.int32),
+        out["overflow"].astype(jnp.int32),
+        dense.reshape(9 * B),
+    ])
 
 
 def unpack_hits(arr, max_hits: int):

@@ -594,7 +594,7 @@ def map_all_with_device(
                 expand_anchors_device_v2,
                 (*sel, tables.jrows, tables.erows),
                 dict(max_per_hit=max_per_hit, hash_takes=hash_takes))
-            dense, meta = cached_call(
+            flat = cached_call(
                 anchors_to_hits_device_dense, tuple(anchors),
                 dict(k=cfg.k, bandwidth=cfg.bandwidth,
                      min_anchor_count=cfg.min_anchor_count,
@@ -602,48 +602,49 @@ def map_all_with_device(
                      max_hits=max_hits, trim=trim, budget=hit_budget))
             # anchors ride along so a budget-exceeding batch (rare) can
             # re-pull through the padded tail without recomputing
-            return ("dense", dense, meta, anchors)
+            return ("dense", flat, anchors)
         return cached_call(
             map_reads_device,
             (jnp.asarray(codes), jnp.asarray(lens), *idx_dev,
              bitmap, rank),
             dict(join_rounds=rounds, **kw))
 
+    def collect_dense(chunk, flat_np, anchors):
+        R = batch_reads
+        n_hits = flat_np[:R]
+        ovf = flat_np[R : 2 * R] != 0
+        counts = np.minimum(n_hits, max_hits)
+        if int(counts.sum()) <= hit_budget:
+            dense_np = flat_np[2 * R :].reshape(hit_budget, 9)
+            offs = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            for i, (rid, seq) in enumerate(chunk):
+                if ovf[i]:
+                    DEVICE_MAP_STATS["overflow_reads"] += 1
+                    results[rid] = map_read(index, seq, cfg)
+                    continue
+                rows = dense_np[offs[i] : offs[i + 1]]
+                results[rid] = [
+                    Mapping(
+                        unitig=int(r[1]), strand=bool(r[2]),
+                        q_start=int(r[3]), q_end=int(r[4]),
+                        t_start=int(r[5]), t_end=int(r[6]),
+                        matches=int(r[7]), n_anchors=int(r[8]),
+                    )
+                    for r in rows
+                ]
+            return
+        # batch exceeded the dense budget: re-pull the padded tail
+        DEVICE_MAP_STATS["dense_repulls"] += 1
+        out = cached_call(
+            anchors_to_hits_device_packed, tuple(anchors),
+            dict(k=cfg.k, bandwidth=cfg.bandwidth,
+                 min_anchor_count=cfg.min_anchor_count,
+                 min_chain_score=cfg.min_chain_score,
+                 max_hits=max_hits, trim=trim))
+        collect(chunk, out)
+
     def collect(chunk, out):
-        if isinstance(out, tuple) and out and out[0] == "dense":
-            _tag, dense, meta, anchors = out
-            meta_np = np.asarray(meta)
-            n_hits = meta_np[:, 0]
-            ovf = meta_np[:, 1] != 0
-            counts = np.minimum(n_hits, max_hits)
-            if int(counts.sum()) <= hit_budget:
-                dense_np = np.asarray(dense)
-                offs = np.zeros(len(counts) + 1, dtype=np.int64)
-                np.cumsum(counts, out=offs[1:])
-                for i, (rid, seq) in enumerate(chunk):
-                    if ovf[i]:
-                        DEVICE_MAP_STATS["overflow_reads"] += 1
-                        results[rid] = map_read(index, seq, cfg)
-                        continue
-                    rows = dense_np[offs[i] : offs[i + 1]]
-                    results[rid] = [
-                        Mapping(
-                            unitig=int(r[1]), strand=bool(r[2]),
-                            q_start=int(r[3]), q_end=int(r[4]),
-                            t_start=int(r[5]), t_end=int(r[6]),
-                            matches=int(r[7]), n_anchors=int(r[8]),
-                        )
-                        for r in rows
-                    ]
-                return
-            # batch exceeded the dense budget: re-pull the padded tail
-            DEVICE_MAP_STATS["dense_repulls"] += 1
-            out = cached_call(
-                anchors_to_hits_device_packed, tuple(anchors),
-                dict(k=cfg.k, bandwidth=cfg.bandwidth,
-                     min_anchor_count=cfg.min_anchor_count,
-                     min_chain_score=cfg.min_chain_score,
-                     max_hits=max_hits, trim=trim))
         if not isinstance(out, dict):  # packed (R, 8*max_hits+2) array
             out = unpack_hits(out, max_hits)
         out = {k2: np.asarray(v2) for k2, v2 in out.items()}
@@ -672,17 +673,43 @@ def map_all_with_device(
             ]
 
     results: dict[int, list[Mapping]] = {}
-    # double-buffered loop: dispatch chunk i+1 (async h2d + compute)
-    # before pulling chunk i's results, so the tunnel's two directions
-    # and the chip overlap instead of serializing per batch
+    # windowed pull loop: dense-path batches accumulate W at a time and
+    # come back in ONE device-side concat + d2h (each tunnel round trip
+    # costs ~25 ms of latency on top of the bytes — per-batch pulls
+    # spent more time in latency than in transfer, BASELINE.md round
+    # 4); non-dense paths keep the round-3 double buffering
+    window: list = []
+    W = max(1, int(os.environ.get("MS_TPU_PULL_WINDOW", "8")))
+    flat_len = 2 * batch_reads + 9 * hit_budget
+
+    def drain_window():
+        if not window:
+            return
+        import jax.numpy as _jnp
+
+        if len(window) == 1:
+            arr = np.asarray(window[0][1])
+        else:
+            arr = np.asarray(_jnp.concatenate([w[1] for w in window]))
+        for j, (chunk, _flat, anchors) in enumerate(window):
+            collect_dense(chunk, arr[j * flat_len : (j + 1) * flat_len],
+                          anchors)
+        window.clear()
+
     pending: tuple | None = None
     for L, members in sorted(buckets.items()):
         for s in range(0, len(members), batch_reads):
             chunk = members[s : s + batch_reads]
             out = dispatch(chunk, L, s)
+            if isinstance(out, tuple) and out and out[0] == "dense":
+                window.append((chunk, out[1], out[2]))
+                if len(window) >= W:
+                    drain_window()
+                continue
             if pending is not None:
                 collect(*pending)
             pending = (chunk, out)
+    drain_window()
     if pending is not None:
         collect(*pending)
     return [(rid, results[rid]) for rid, _ in items]
