@@ -376,6 +376,27 @@ def _backend_is_cpu() -> bool:
         return False
 
 
+def _link_allows_device() -> bool:
+    """Transfer-economics gate for the driver's device phases: on a
+    slow host<->device link (remote tunnel, measured 5-30 MB/s) the
+    batch shipping dominates the device win, so size-gated placement
+    additionally requires the link to move data at near-attached rates
+    (``MS_TPU_MIN_LINK_MBPS``, default 100).  Local CPU backends have
+    no transfer cost.  Callers that zero the size gates (parity/bench
+    scripts forcing the device path) bypass this."""
+    if _backend_is_cpu():
+        return True
+    try:
+        import os
+
+        from muchsalsa_tpu.pipeline.full import device_link_mbps
+
+        thr = float(os.environ.get("MS_TPU_MIN_LINK_MBPS", "100"))
+        return device_link_mbps() >= thr
+    except Exception:
+        return True
+
+
 def _driver_mesh(config: Config, local_only: bool = False):
     """Data-parallel mesh over all attached devices (None when a single
     device is attached) — the driver-side sizing that mirrors the
@@ -458,8 +479,10 @@ def assemble(
     # phase ② placement: large match tables run the all-pairs scaffold
     # intersection on the device (sharded over the mesh when >1 device)
     edges_on_device = config.device.use_device and (
-        len(store) >= config.device.edges_device_min_rows
-        or _backend_is_cpu()
+        _backend_is_cpu()
+        or config.device.edges_device_min_rows == 0
+        or (len(store) >= config.device.edges_device_min_rows
+            and _link_allows_device())
     )
     timer.count("edges_on_device", int(edges_on_device))
     with timer.stage("edges"):
@@ -486,8 +509,10 @@ def assemble(
     # problem count; tiny runs stay on the host oracle (accelerator
     # compile dominates below config.device.chain_device_min_problems)
     chain_on_device = config.device.use_device and (
-        2 * graph.size >= config.device.chain_device_min_problems
-        or _backend_is_cpu()
+        _backend_is_cpu()
+        or config.device.chain_device_min_problems == 0
+        or (2 * graph.size >= config.device.chain_device_min_problems
+            and _link_allows_device())
     )
     timer.count("chaining_on_device", int(chain_on_device))
     with timer.stage("chaining"), debug_ctx, jax_profile(profile_dir):

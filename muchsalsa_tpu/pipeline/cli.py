@@ -79,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
                       default=None,
                       help="run the scrub's subset all-vs-all overlap "
                       "on the accelerator (identical output; default: auto)")
+    full.add_argument("--device-dbg", action=argparse.BooleanOptionalAction,
+                      default=None,
+                      help="batch the DBG walk's extension queries on "
+                      "the accelerator (identical unitigs; default: auto)")
 
     mp = sub.add_parser("map", help="native minimizer mapper (PAF out)")
     mp.add_argument("query_fa", help="unitigs/anchors (PAF query)")
@@ -148,6 +152,7 @@ def main(argv: list[str] | None = None) -> int:
             device_map=getattr(args, "device_map", None),
             device_kmer=getattr(args, "device_kmer", None),
             device_scrub=getattr(args, "device_scrub", None),
+            device_dbg=getattr(args, "device_dbg", None),
         )
         print(f"Assembly written to {final}")
         return 0

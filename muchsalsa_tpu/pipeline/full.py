@@ -18,6 +18,7 @@ Stages checkpoint through :class:`StageRunner` manifests (resumable).
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -37,6 +38,54 @@ def accelerator_attached() -> bool:
         return jax.devices()[0].platform != "cpu"
     except Exception:
         return False
+
+
+_LINK_MBPS: float | None = None
+
+
+def device_link_mbps(probe_bytes: int = 4 << 20) -> float:
+    """Measured host<->device link bandwidth (MB/s, round-trip of
+    ``probe_bytes``), cached per process.  Auto stage placement is
+    LINK-AWARE: the pipeline's transfer-heavy stages (k-mer counting,
+    mapping, scrub) only pay off on the device when data moves at
+    PCIe/ICI rates — through a remote tunnel (measured 5-30 MB/s on
+    this rig, BASELINE.md round 4) the same placement loses the wall
+    clock to shipping, so auto falls back to the host-native paths.
+    Returns +inf on the CPU backend (no transfer cost)."""
+    global _LINK_MBPS
+    if _LINK_MBPS is not None:
+        return _LINK_MBPS
+    try:
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+
+        if jax.devices()[0].platform == "cpu":
+            _LINK_MBPS = float("inf")
+            return _LINK_MBPS
+        buf = _np.zeros(probe_bytes, dtype=_np.uint8)
+        # warm the link (connection setup / first-sync can cost seconds)
+        _ = _np.asarray(jnp.asarray(buf[: 1 << 10]) + 1)
+        t0 = _time.perf_counter()
+        _ = _np.asarray(jnp.asarray(buf) + 1)
+        dt = max(_time.perf_counter() - t0, 1e-9)
+        _LINK_MBPS = (2 * probe_bytes / dt) / 1e6
+    except Exception:
+        _LINK_MBPS = 0.0
+    return _LINK_MBPS
+
+
+def device_placement_auto() -> bool:
+    """Default for the tri-state device_* pipeline flags: an accelerator
+    is attached AND its link moves data fast enough that shipping the
+    stage inputs/outputs does not dominate (threshold
+    ``MS_TPU_MIN_LINK_MBPS``, default 100 MB/s)."""
+    if not accelerator_attached():
+        return False
+    threshold = float(os.environ.get("MS_TPU_MIN_LINK_MBPS", "100"))
+    return device_link_mbps() >= threshold
 
 
 def _read_pairs(path1: Path, path2: Path | None):
@@ -62,22 +111,31 @@ def run_full_pipeline(
     device_map: bool | None = None,
     device_kmer: bool | None = None,
     device_scrub: bool | None = None,
+    device_dbg: bool | None = None,
 ) -> Path:
     # tri-state placement flags: None = auto (device when an accelerator
-    # is attached), True/False = forced by the caller/CLI
+    # is attached AND its link is fast enough that shipping the stage
+    # data doesn't dominate — see device_placement_auto), True/False =
+    # forced by the caller/CLI
     accel = accelerator_attached()
-    device_map = accel if device_map is None else device_map
-    device_kmer = accel if device_kmer is None else device_kmer
-    device_scrub = accel if device_scrub is None else device_scrub
+    auto = device_placement_auto() if None in (
+        device_map, device_kmer, device_scrub, device_dbg) else False
+    device_map = auto if device_map is None else device_map
+    device_kmer = auto if device_kmer is None else device_kmer
+    device_scrub = auto if device_scrub is None else device_scrub
+    device_dbg = auto if device_dbg is None else device_dbg
 
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     runner = StageRunner(out)
     report = out / "report.txt"
     with open(report, "a") as fh:
+        link = _LINK_MBPS
         fh.write(
             f"device placement: map={device_map} kmer={device_kmer} "
-            f"scrub={device_scrub} (accelerator_attached={accel})\n"
+            f"scrub={device_scrub} dbg={device_dbg} "
+            f"(accelerator_attached={accel}, "
+            f"link_mbps={'unprobed' if link is None else round(link, 1)})\n"
         )
 
     illumina1 = Path(illumina1)
@@ -143,6 +201,7 @@ def run_full_pipeline(
         unitigs = build_unitigs(
             seqs, k=unitig_k, min_count=2,
             min_length=config.pipeline.min_unitig_length,
+            device=device_dbg,
         )
         write_fasta(unitigs_fa, ((f"unitig_{i}", u) for i, u in enumerate(unitigs)))
 
