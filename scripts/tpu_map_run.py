@@ -76,8 +76,12 @@ def main() -> None:
     t0 = time.perf_counter()
     dev = map_all(index, reads, cfg, device=True)
     cold_s = time.perf_counter() - t0
+    from muchsalsa_tpu.pipeline.mapper import DEVICE_MAP_STATS
     print(f"[tpu_map] device map_all (first pass in process): {cold_s:.1f}s "
           f"({n_reads/cold_s:.0f} reads/s) aot_cache={aot_cache.cache_stats()}",
+          flush=True)
+    print(f"[tpu_map] device stats: {DEVICE_MAP_STATS} -> overflow rate "
+          f"{100.0*DEVICE_MAP_STATS.get('overflow_reads',0)/max(n_reads,1):.2f}%",
           flush=True)
     assert dev == host, "device PAF diverged from host"
     print("[tpu_map] PARITY: PASS (device PAF == host PAF)", flush=True)
