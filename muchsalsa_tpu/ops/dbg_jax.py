@@ -66,12 +66,22 @@ def _canon(hi, lo, k: int):
     return jnp.where(lt, rc_hi, hi), jnp.where(lt, rc_lo, lo)
 
 
-def _search(hi_q, lo_q, hi_s, lo_s, rounds: int):
+def _search(hi_q, lo_q, hi_s, lo_s, rounds: int, rank=None,
+            rank_log2: int = 0):
     """Index of (hi_q, lo_q) in the sorted (hi_s, lo_s) arrays, -1 when
-    absent.  Static-round binary search (one gather pair per round)."""
+    absent.  Static-round binary search (one gather pair per round);
+    with a ``rank`` table over the value's top ``rank_log2`` bits the
+    search is bounded to one bucket, cutting ``rounds`` from log2(N)
+    to log2(max bucket) — the unrolled 8 x 24-round form was a server
+    compile bomb (>20 min; same mechanism as docs/DESIGN.md 4b)."""
     H = hi_s.shape[0]
-    lo_b = jnp.zeros(hi_q.shape, jnp.int32)
-    hi_b = jnp.full(hi_q.shape, H, jnp.int32)
+    if rank is not None and rank_log2 > 0:
+        bkt = (hi_q >> jnp.uint32(32 - rank_log2)).astype(jnp.int32)
+        lo_b = rank[bkt]
+        hi_b = rank[bkt + 1]
+    else:
+        lo_b = jnp.zeros(hi_q.shape, jnp.int32)
+        hi_b = jnp.full(hi_q.shape, H, jnp.int32)
     for _ in range(rounds):
         mid = (lo_b + hi_b) >> 1
         safe = jnp.clip(mid, 0, H - 1)
@@ -86,7 +96,7 @@ def _search(hi_q, lo_q, hi_s, lo_s, rounds: int):
     return jnp.where(found, idx, -1)
 
 
-@partial(jax.jit, static_argnames=("k", "rounds"))
+@partial(jax.jit, static_argnames=("k", "rounds", "rank_log2"))
 def ext_indices_chunk(
     hi_c: jnp.ndarray,   # (C,) uint32 — chunk of canonical k-mers
     lo_c: jnp.ndarray,   # (C,)
@@ -94,6 +104,8 @@ def ext_indices_chunk(
     lo_s: jnp.ndarray,   # (N,)
     k: int,
     rounds: int,
+    rank: jnp.ndarray | None = None,  # (2^rank_log2 + 1,) int32
+    rank_log2: int = 0,
 ):
     """(C, 8) int32 — for each k-mer, the set index of the canonical
     form of extension j (j = base for forward, 4 + base for backward),
@@ -111,7 +123,8 @@ def ext_indices_chunk(
             if 2 * k < 32:
                 f_lo = f_lo & jnp.uint32((1 << (2 * k)) - 1)
         ch, cl = _canon(f_hi, f_lo, k)
-        outs.append(_search(ch, cl, hi_s, lo_s, rounds))
+        outs.append(_search(ch, cl, hi_s, lo_s, rounds,
+                            rank=rank, rank_log2=rank_log2))
     for b in range(4):
         # backward: (v >> 2) | (b << (2k-2))
         p_lo = (lo_c >> 2) | (hi_c << 30)
@@ -122,7 +135,8 @@ def ext_indices_chunk(
         else:
             p_lo = p_lo | (jnp.uint32(b) << sh)
         ch, cl = _canon(p_hi, p_lo, k)
-        outs.append(_search(ch, cl, hi_s, lo_s, rounds))
+        outs.append(_search(ch, cl, hi_s, lo_s, rounds,
+                            rank=rank, rank_log2=rank_log2))
     return jnp.stack(outs, axis=1)
 
 
@@ -138,7 +152,21 @@ def ext_indices_device(vals: np.ndarray, k: int,
     lo_all = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi_s = jnp.asarray(hi_all)
     lo_s = jnp.asarray(lo_all)
-    rounds = max(int(np.ceil(np.log2(N + 1))), 1)
+    # rank table over the top bits of hi bounds each search to one
+    # bucket: rounds drops from log2(N) (~24 — whose 8 x 24-round
+    # unrolled form was a >20 min server compile) to log2(max bucket)
+    # (~5).  Only meaningful when hi carries value bits (2k > 32).
+    rank_log2 = 22 if 2 * k > 32 and N > (1 << 16) else 0
+    if rank_log2:
+        bkt = (hi_all >> np.uint32(32 - rank_log2)).astype(np.int64)
+        counts = np.bincount(bkt, minlength=1 << rank_log2)
+        rank_np = np.zeros((1 << rank_log2) + 1, dtype=np.int32)
+        np.cumsum(counts, out=rank_np[1:])
+        rank = jnp.asarray(rank_np)
+        rounds = max(int(np.ceil(np.log2(int(counts.max()) + 1))), 1)
+    else:
+        rank = None
+        rounds = max(int(np.ceil(np.log2(N + 1))), 1)
     out = np.empty((N, 8), dtype=np.int32)
     pulls = []
     for s in range(0, N, chunk):
@@ -148,7 +176,8 @@ def ext_indices_device(vals: np.ndarray, k: int,
         hi_c = jnp.asarray(np.pad(hi_all[s:e], (0, pad)))
         lo_c = jnp.asarray(np.pad(lo_all[s:e], (0, pad)))
         pulls.append((s, e, ext_indices_chunk(
-            hi_c, lo_c, hi_s, lo_s, k=k, rounds=rounds)))
+            hi_c, lo_c, hi_s, lo_s, k=k, rounds=rounds,
+            rank=rank, rank_log2=rank_log2)))
     for s, e, dev in pulls:
         out[s:e] = np.asarray(dev)[: e - s]
     return out
