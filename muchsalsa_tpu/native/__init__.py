@@ -385,6 +385,9 @@ def _setup_kmer(lib):
     ]
     lib.ms_build_unitigs.argtypes = [u64p, ct.c_int64, ct.c_int32, ct.c_int32]
     lib.ms_build_unitigs.restype = ct.c_int64
+    lib.ms_build_unitigs_from_ext.argtypes = [
+        u64p, ct.c_int64, ct.c_int32, ct.POINTER(ct.c_int32), ct.c_int32]
+    lib.ms_build_unitigs_from_ext.restype = ct.c_int64
     lib.ms_unitigs_blob_len.restype = ct.c_int64
     lib.ms_unitigs_copy.argtypes = [u8p, i64p]
 
@@ -451,6 +454,32 @@ def build_unitigs_native(kmers_sorted: np.ndarray, k: int, min_length: int):
     if len(km) == 0:
         return []
     n = int(lib.ms_build_unitigs(_p(km, ct.c_uint64), len(km), k, min_length))
+    blob_len = int(lib.ms_unitigs_blob_len())
+    blob = np.empty(max(blob_len, 1), np.uint8)
+    offsets = np.empty(n + 1, np.int64)
+    lib.ms_unitigs_copy(_p(blob, ct.c_uint8), _p(offsets, ct.c_int64))
+    lib.ms_unitigs_free()
+    raw = blob.tobytes()
+    return [raw[offsets[i]:offsets[i + 1]] for i in range(n)]
+
+
+def build_unitigs_from_ext_native(kmers_sorted: np.ndarray, k: int,
+                                  ext: np.ndarray, min_length: int):
+    """The DBG stitch driven by a precomputed (N, 8) extension-index
+    table (the device leg, ops/dbg_jax.py), or None.  Identical output
+    to build_unitigs_native."""
+    lib = _kmer_lib()
+    if lib is None:
+        return None
+    import ctypes as ct
+
+    km = np.ascontiguousarray(kmers_sorted, dtype=np.uint64)
+    if len(km) == 0:
+        return []
+    ex = np.ascontiguousarray(ext, dtype=np.int32)
+    assert ex.shape == (len(km), 8)
+    n = int(lib.ms_build_unitigs_from_ext(
+        _p(km, ct.c_uint64), len(km), k, _p(ex, ct.c_int32), min_length))
     blob_len = int(lib.ms_unitigs_blob_len())
     blob = np.empty(max(blob_len, 1), np.uint8)
     offsets = np.empty(n + 1, np.int64)

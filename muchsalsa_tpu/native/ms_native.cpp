@@ -1020,6 +1020,97 @@ int64_t ms_build_unitigs(const uint64_t *kmers, int64_t n, int32_t k,
   return static_cast<int64_t>(g_unitig_state->offsets.size()) - 1;
 }
 
+// the same walk driven by a precomputed (n, 8) extension-index table
+// (ops/dbg_jax.py::ext_indices_device — the device leg of the DBG
+// build): ext[i*8 + j] = set index of the canonical form of extension
+// j of canonical k-mer i (j = base forward, 4 + base backward), or -1.
+// A raw k-mer in reverse-complement orientation reads the opposite
+// block with complemented base.  Output identical to ms_build_unitigs.
+int64_t ms_build_unitigs_from_ext(const uint64_t *kmers, int64_t n,
+                                  int32_t k, const int32_t *ext,
+                                  int32_t min_length) {
+  delete g_unitig_state;
+  g_unitig_state = new UnitigState();
+  g_unitig_state->offsets.push_back(0);
+  std::vector<uint8_t> visited(n, 0);
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+
+  // (count, base, target) of the raw k-mer's unique extension
+  auto exts_of = [&](int64_t i, int orient, bool forward, int *b_out,
+                     int64_t *j_out) {
+    const bool use_fwd = (orient == 0) == forward;
+    const int32_t *row = ext + 8 * i + (use_fwd ? 0 : 4);
+    int cnt = 0, bb1 = -1;
+    for (int bb = 0; bb < 4; ++bb) {
+      if (row[bb] >= 0) {
+        if (cnt == 0) bb1 = bb;
+        ++cnt;
+      }
+    }
+    if (cnt == 1) {
+      *b_out = orient == 0 ? bb1 : 3 - bb1;
+      *j_out = row[bb1];
+    }
+    return cnt;
+  };
+
+  std::vector<uint64_t> fwd_path, bwd_path;
+  static const char DECODE[4] = {'A', 'C', 'G', 'T'};
+
+  for (int64_t s = 0; s < n; ++s) {
+    if (visited[s]) continue;
+    visited[s] = 1;
+    const uint64_t start = kmers[s];
+
+    auto walk = [&](bool forward, std::vector<uint64_t> &path) {
+      path.clear();
+      int64_t i = s;
+      uint64_t cur = start;
+      int orient = 0;
+      for (;;) {
+        int b;
+        int64_t j;
+        if (exts_of(i, orient, forward, &b, &j) != 1) break;
+        const uint64_t nxt =
+            forward ? (((cur << 2) | static_cast<uint64_t>(b)) & mask)
+                    : ((cur >> 2) |
+                       (static_cast<uint64_t>(b) << (2 * (k - 1))));
+        if (visited[j] || j == i) break;
+        const int orient2 = nxt == kmers[j] ? 0 : 1;
+        int b2;
+        int64_t j2;
+        if (exts_of(j, orient2, !forward, &b2, &j2) != 1) break;
+        path.push_back(nxt);
+        visited[j] = 1;
+        i = j;
+        cur = nxt;
+        orient = orient2;
+      }
+    };
+
+    walk(true, fwd_path);
+    walk(false, bwd_path);
+
+    auto &blob = g_unitig_state->blob;
+    size_t begin = blob.size();
+    uint64_t first = bwd_path.empty() ? start : bwd_path.back();
+    for (int32_t i = 0; i < k; ++i)
+      blob.push_back(DECODE[(first >> (2 * (k - 1 - i))) & 3]);
+    auto emit_tail = [&](uint64_t v) { blob.push_back(DECODE[v & 3]); };
+    for (auto it = bwd_path.rbegin(); it != bwd_path.rend(); ++it)
+      if (it != bwd_path.rbegin()) emit_tail(*it);
+    if (!bwd_path.empty()) emit_tail(start);
+    for (uint64_t v : fwd_path) emit_tail(v);
+
+    if (blob.size() - begin >= static_cast<size_t>(min_length)) {
+      g_unitig_state->offsets.push_back(static_cast<int64_t>(blob.size()));
+    } else {
+      blob.resize(begin);
+    }
+  }
+  return static_cast<int64_t>(g_unitig_state->offsets.size()) - 1;
+}
+
 int64_t ms_unitigs_blob_len() {
   return g_unitig_state ? static_cast<int64_t>(g_unitig_state->blob.size()) : 0;
 }

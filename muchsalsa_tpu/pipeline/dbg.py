@@ -71,10 +71,16 @@ class UnitigBuilder:
             # (ops/dbg_jax.py); the serial stitch below runs with O(1)
             # table lookups per step.  Output identical to the native
             # and python walkers (tests/test_dbg_device.py).
+            from muchsalsa_tpu import native
             from muchsalsa_tpu.ops.dbg_jax import ext_indices_device
 
             vals = np.ascontiguousarray(self._kmers_sorted, dtype=np.uint64)
             ext = ext_indices_device(vals, k)
+            if native.available():
+                out = native.build_unitigs_from_ext_native(
+                    vals, k, ext, min_length)
+                if out is not None:
+                    return out
             return build_unitigs_from_ext(vals, ext, k, min_length)
         if k <= 31:
             from muchsalsa_tpu import native
