@@ -59,7 +59,13 @@ def _sync_latency() -> float:
 
 def _timed_loop(loop_fn, args, latency: float, iters: int = ITERS, reps: int = 2) -> float:
     """Seconds per iteration of ``loop_fn`` (jitted, runs ``iters``
-    chained iterations internally, returns a scalar)."""
+    chained iterations internally, returns a scalar).
+
+    The latency subtraction is clamped to half the measured wall: the
+    tunnel round-trip is load-sensitive, and subtracting a stale
+    inflated latency from a fast loop otherwise fabricates absurd
+    figures (a concurrent-load run once reported 8.7x the real banded
+    throughput this way)."""
     import jax
 
     f = jax.jit(loop_fn)
@@ -69,7 +75,7 @@ def _timed_loop(loop_fn, args, latency: float, iters: int = ITERS, reps: int = 2
         t0 = time.perf_counter()
         _ = np.asarray(f(*args))
         best = min(best, time.perf_counter() - t0)
-    return max(best - latency, 1e-9) / iters
+    return max(best - min(latency, 0.5 * best), 1e-9) / iters
 
 
 def _align_problems(n_problems: int = ALIGN_P):
