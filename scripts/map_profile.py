@@ -36,12 +36,18 @@ def _sync(out):
 
 
 def timed(name, fn, *args, latency=0.0, **kw):
-    out = fn(*args, **kw)  # compile / cache load
+    # through the persistent executable cache: profiles the very
+    # executables production dispatches (and avoids a fresh server
+    # compile per profiling process)
+    from muchsalsa_tpu.utils.aot_cache import cached_call
+
+    call = lambda: cached_call(fn, args, kw)
+    out = call()  # compile / cache load
     _sync(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [fn(*args, **kw) for _ in range(ITERS)]
+        outs = [call() for _ in range(ITERS)]
         _sync(outs[-1])
         best = min(best, (time.perf_counter() - t0 - latency) / ITERS)
     print(f"[profile] {name}: {best*1e3:.1f} ms", flush=True)
@@ -76,7 +82,9 @@ def main() -> None:
     print(f"[profile] sync latency: {lat*1e3:.1f} ms", flush=True)
 
     rng = np.random.default_rng(0)
-    L = 10_240
+    # the production length bucket for 9-16 kb reads (pow2 — matching
+    # the bucket means the profiler reuses production's AOT executables)
+    L = int(sys.argv[4]) if len(sys.argv) > 4 else 16_384
     codes_np = rng.integers(0, 4, (R, L)).astype(np.uint8)
     codes = jnp.asarray(codes_np)
     lens = jnp.asarray(np.full(R, L, dtype=np.int32))
@@ -114,7 +122,8 @@ def main() -> None:
         latency=lat, max_per_hit=max_per_hit, hash_takes=hash_takes)
     total += dt
     (_, dt) = timed(
-        "tail", anchors_to_hits_device_packed, *anchors, latency=lat)
+        "tail", anchors_to_hits_device_packed, *anchors, latency=lat,
+        trim=2 * max_pos if max_per_hit > 2 else None)
     total += dt
     print(f"[profile] 5-stage total: {total*1e3:.1f} ms "
           f"({R/total:.0f} reads/s)", flush=True)
