@@ -179,7 +179,8 @@ def build_join_tables(idx_hashes) -> tuple:
 
 @partial(jax.jit, static_argnames=(
     "k", "w", "bandwidth", "min_anchor_count", "min_chain_score",
-    "max_pos", "max_per_hit", "max_hits", "log2_bits", "join_rounds"))
+    "max_pos", "max_per_hit", "max_hits", "log2_bits", "join_rounds",
+    "trim"))
 def map_reads_device(
     codes: jnp.ndarray,        # (R, L) uint8/int32, pad = 4
     lens: jnp.ndarray,         # (R,)
@@ -200,6 +201,7 @@ def map_reads_device(
     max_hits: int = 64,
     log2_bits: int = 28,
     join_rounds: int = 0,  # rounds for the rank-bounded search (static)
+    trim: int | None = None,
 ):
     """Map every read against the index on the device.
 
@@ -296,7 +298,7 @@ def map_reads_device(
 
     return _anchors_to_hits(
         key, diag, aq, at, k, bandwidth, min_anchor_count, min_chain_score,
-        max_hits, overflow,
+        max_hits, overflow, trim=trim,
     )
 
 
@@ -718,7 +720,8 @@ def expand_anchors_device_v2(
 
 @partial(jax.jit, static_argnames=(
     "k", "w", "bandwidth", "min_anchor_count", "min_chain_score",
-    "max_sel", "max_pos", "max_per_hit", "max_hits", "hash_takes"))
+    "max_sel", "max_pos", "max_per_hit", "max_hits", "hash_takes",
+    "trim"))
 def map_reads_device_v2(
     codes: jnp.ndarray,
     lens: jnp.ndarray,
@@ -735,6 +738,7 @@ def map_reads_device_v2(
     max_per_hit: int = 4,
     max_hits: int = 64,
     hash_takes: int = 1,
+    trim: int | None = None,
 ):
     """v2 of :func:`map_reads_device` as ONE jit: anchor expansion
     (:func:`_v2_anchors`) + chaining tail (:func:`_anchors_to_hits`).
@@ -745,7 +749,7 @@ def map_reads_device_v2(
         max_pos=max_pos, max_per_hit=max_per_hit, hash_takes=hash_takes)
     return _anchors_to_hits(
         key, diag, aq, at, k, bandwidth, min_anchor_count, min_chain_score,
-        max_hits, overflow,
+        max_hits, overflow, trim=trim,
     )
 
 
@@ -967,7 +971,8 @@ def unpack_codes(packed, nmask):
 
 @partial(jax.jit, static_argnames=(
     "k", "w", "bandwidth", "min_anchor_count", "min_chain_score",
-    "max_sel", "max_pos", "max_per_hit", "max_hits", "hash_takes"))
+    "max_sel", "max_pos", "max_per_hit", "max_hits", "hash_takes",
+    "trim"))
 def map_reads_device_v2_packed(
     packed: jnp.ndarray,       # (R, L//16) uint32 from pack_codes
     nmask: jnp.ndarray,        # (R, L//32) uint32 from pack_codes

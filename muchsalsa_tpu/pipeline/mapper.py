@@ -490,6 +490,7 @@ def map_all_with_device(
         min_anchor_count=cfg.min_anchor_count,
         min_chain_score=cfg.min_chain_score,
         max_pos=max_pos, max_per_hit=max_per_hit, max_hits=max_hits,
+        trim=trim,
     )
 
     # device-resident read batches: the pipeline maps the same read
