@@ -106,21 +106,39 @@ def _subset_schedule(
     remaining = set(nodes)
     schedule: list[tuple[list[str], list[str]]] = []
 
+    # ``min(remaining - bfs_subset)`` recomputed per accreted node is
+    # O(N) set work — O(N * subset_size) total when the anchor graph is
+    # sparse and BFS adds one node at a time (measured: the dominant
+    # term of the 140 Mb scrub wall).  An ascending scan pointer gives
+    # the identical min: within one subset accumulation ``remaining``
+    # only shrinks and ``bfs_subset`` only grows, so everything behind
+    # the pointer stays ineligible; the pointer resets when a subset is
+    # emitted (non-center members become eligible again).
+    sorted_ids = sorted(nodes)
+    ptr = 0
     bfs_subset: set[str] = set()
     while remaining:
-        possible = remaining - bfs_subset if bfs_subset else remaining
-        if not possible:
-            possible = remaining
-        start = min(possible)
+        while ptr < len(sorted_ids) and (
+            sorted_ids[ptr] not in remaining or sorted_ids[ptr] in bfs_subset
+        ):
+            ptr += 1
+        if ptr < len(sorted_ids):
+            start = sorted_ids[ptr]
+        else:
+            # every remaining node is already in the subset
+            start = min(remaining)
 
-        # BFS until subset_size nodes collected
+        # BFS until subset_size nodes collected.  Membership against
+        # ``bfs_subset`` is checked in place — building
+        # ``{start} | bfs_subset`` copied the whole growing subset per
+        # accreted node (the second quadratic term of the 140 Mb wall)
         queue = deque([start])
-        seen = {start} | bfs_subset
+        seen = {start}
         order = [start]
         while queue and len(bfs_subset) + len(order) < 10 * subset_size:
             cur = queue.popleft()
             for nb in sorted(adj.get(cur, ())):
-                if nb in seen or nb not in remaining:
+                if nb in seen or nb in bfs_subset or nb not in remaining:
                     continue
                 seen.add(nb)
                 order.append(nb)
@@ -150,6 +168,7 @@ def _subset_schedule(
             for v in subsetless:
                 adj.get(v, set()).discard(name)
         bfs_subset.clear()
+        ptr = 0  # non-center members are eligible starts again
 
     return schedule
 
