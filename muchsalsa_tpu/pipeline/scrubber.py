@@ -32,11 +32,17 @@ class _Node:
 
 
 def build_anchor_graph(paf_lines, min_hit: int = 500):
-    """Anchor-sharing read graph (scrubber_bfs.py:57-114)."""
+    """Anchor-sharing read graph (scrubber_bfs.py:57-114).
+
+    Reads sharing an anchor (PAF col 0) form a clique.  The reference
+    groups CONSECUTIVE lines by col 0 — correct for minimap2's
+    query-grouped output; our native mapper emits read-grouped lines,
+    so membership is keyed by anchor id explicitly (identical graph on
+    query-grouped input, and the intended graph — anchor-sharing reads
+    co-located per BFS subset — on any line order)."""
     nodes: dict[str, _Node] = {}
     adj: dict[str, set[str]] = {}
-    prev_hit_id = ""
-    chunk_nodes: list[str] = []
+    chunks: dict[str, list[str]] = {}
 
     for line in paf_lines:
         if not line:
@@ -57,9 +63,7 @@ def build_anchor_graph(paf_lines, min_hit: int = 500):
             continue
         nodes[id_2].illu_to_ranges[id_1] = (s_2, e_2)
 
-        if id_1 != prev_hit_id:
-            chunk_nodes = []
-            prev_hit_id = id_1
+        chunk_nodes = chunks.setdefault(id_1, [])
         for prev in chunk_nodes:
             adj[prev].add(id_2)
             adj[id_2].add(prev)
