@@ -130,7 +130,15 @@ def _assembly_worker_count(workers: int | None, n_components: int) -> int:
     if env is not None:
         return max(1, int(env))
     if workers is None:
-        workers = _os.cpu_count() or 1
+        # default OFF: the spawn fan-out has lost every wall-clock
+        # measurement taken on this project's hosts (fork-COW over the
+        # multi-GB heap outweighs the compute win — BASELINE.md round 2;
+        # re-confirmed round 4), so an implicit cpu_count fan-out is a
+        # footgun.  Opt in via the `threads` CLI positional / `workers`
+        # arg / MS_TPU_ASSEMBLY_WORKERS once measured on the target
+        # host.  (The reference defaults to hardware_concurrency,
+        # src/Application.cpp:45 — but its threads share one heap.)
+        return 1
     return max(1, workers)
 
 
@@ -394,7 +402,10 @@ def _link_allows_device() -> bool:
         thr = float(os.environ.get("MS_TPU_MIN_LINK_MBPS", "100"))
         return device_link_mbps() >= thr
     except Exception:
-        return True
+        # fail CLOSED, matching full.py's device_link_mbps policy (a
+        # failed probe sets _LINK_MBPS=0.0 there): an unprobable link
+        # should keep the driver off the tunnel, not on it
+        return False
 
 
 def _driver_mesh(config: Config, local_only: bool = False):

@@ -883,8 +883,12 @@ def anchors_to_hits_device_dense(
         key, diag, aq, at, k, bandwidth, min_anchor_count,
         min_chain_score, max_hits, overflow, trim=trim)
     R = key.shape[0]
-    B = budget if budget is not None else 16 * R
     F = R * max_hits
+    # clamp: sort(flat_key)[:B] can never yield more than F rows, and a
+    # caller-set budget > F would make the returned flat array shorter
+    # than the host's expected 2R+9*budget layout (reshape crash in
+    # collect_dense); the host side clamps identically
+    B = min(budget if budget is not None else 16 * R, F)
     slot = jax.lax.broadcasted_iota(jnp.int32, (R, max_hits), 1)
     hit_valid = slot < out["n_hits"][:, None]
     flat_key = jnp.where(

@@ -463,6 +463,10 @@ def map_all_with_device(
     trim = 2 * max_pos if max_per_hit > 2 else None
     if hit_budget is None:
         hit_budget = 16 * batch_reads
+    # mirror the device-side clamp (anchors_to_hits_device_dense): a
+    # budget above R*max_hits can never be filled and would desync the
+    # host's flat_len from the device's actual output length
+    hit_budget = min(hit_budget, batch_reads * max_hits)
     if built is not None:
         tables, hash_takes = built
     else:

@@ -125,7 +125,7 @@ def main() -> None:
         "tail", anchors_to_hits_device_packed, *anchors, latency=lat,
         trim=2 * max_pos if max_per_hit > 2 else None)
     total += dt
-    print(f"[profile] 5-stage total: {total*1e3:.1f} ms "
+    print(f"[profile] 6-stage total: {total*1e3:.1f} ms "
           f"({R/total:.0f} reads/s)", flush=True)
 
     (_, dt) = timed(

@@ -108,6 +108,59 @@ def test_anchor_graph_edges():
     assert not adj["rC"]
 
 
+def test_anchor_graph_matches_reference_grouping_on_query_grouped_input():
+    """Pin the parity scope of the anchor-id keying (round-4 advisor):
+    on query-grouped line order — minimap2's output order, which the
+    reference's consecutive-run grouping (scrubber_bfs.py:57-114)
+    assumes — our anchor-id-keyed graph must equal the graph the
+    reference grouping would build."""
+    rng = np.random.default_rng(42)
+    # random anchor->reads incidence, emitted query-grouped
+    anchors = [f"u{a}" for a in range(12)]
+    lines = []
+    membership: dict[str, list[str]] = {}
+    for a in anchors:
+        readset = sorted(
+            {f"r{int(x)}" for x in rng.integers(0, 30, rng.integers(1, 6))})
+        membership[a] = readset
+        for r in readset:
+            lines.append(
+                paf_line(a, 2000, 0, 1000, r, 9000, 100, 1100))
+
+    def reference_grouping(paf_lines):
+        """The reference's algorithm: chunk CONSECUTIVE lines by col 0,
+        clique each chunk (scrubber_bfs.py:57-114)."""
+        adj: dict[str, set[str]] = {}
+        run_key, run_nodes = None, []
+        def flush():
+            for x in run_nodes:
+                adj.setdefault(x, set())
+                for y in run_nodes:
+                    if x != y:
+                        adj[x].add(y)
+        for line in paf_lines:
+            c = line.split("\t")
+            if c[0] != run_key:
+                flush()
+                run_key, run_nodes = c[0], []
+            run_nodes.append(c[5])
+        flush()
+        return adj
+
+    _nodes, adj = build_anchor_graph(lines)
+    ref_adj = reference_grouping(lines)
+    assert {k: v for k, v in adj.items()} == {
+        k: v for k, v in ref_adj.items()}
+
+    # on interleaved (non-grouped) order the reference grouping loses
+    # edges while the anchor-id keying keeps the same graph — the
+    # intended, documented deviation
+    shuffled = list(lines)
+    rng.shuffle(shuffled)
+    _n2, adj_shuf = build_anchor_graph(shuffled)
+    assert adj_shuf == adj
+
+
 def test_scrub_reads_trims_to_covered_spans():
     rng = np.random.default_rng(7)
     genome = random_genome(rng, 12_000)
