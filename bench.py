@@ -233,16 +233,22 @@ def _bench_full_mapping(latency: float) -> float:
     packed = jnp.asarray(packed_np)
     nmask = jnp.asarray(nmask_np)
 
+    # the production per-bucket budgets (round 5: width-proportional)
+    from muchsalsa_tpu.pipeline.mapper import device_bucket_budgets
+
+    max_sel, max_pos, trim = device_bucket_budgets(L, 15, 2048, 4)
+
     def chain(packed, nmask, lens):
         selected, h, strand = sketch_device_packed(packed, nmask, lens)
-        skey, h_s, n_sel = select_compact_device_v2(selected, h, strand)
+        skey, h_s, n_sel = select_compact_device_v2(
+            selected, h, strand, max_sel=max_sel)
         rpv, cand = probe_candidates_device_v2(skey, h_s, tables.rp)
         sel = compact_candidates_device_v2(skey, h_s, rpv, cand, n_sel,
-                                           max_pos=1024)
+                                           max_pos=max_pos)
         anchors = expand_anchors_device_v2(
             *sel, tables.jrows, tables.erows, max_per_hit=4,
             hash_takes=hash_takes)
-        return anchors_to_hits_device_packed(*anchors)
+        return anchors_to_hits_device_packed(*anchors, trim=trim)
 
     out = chain(packed, nmask, lens)  # compile / warm every stage
     _ = np.asarray(out[0, 0])

@@ -394,12 +394,42 @@ def map_all(
     return lines
 
 
+def device_bucket_budgets(
+    L: int, k: int, max_pos_cap: int, max_per_hit: int,
+) -> tuple[int, int, int | None]:
+    """Static device budgets for one read-length bucket: returns
+    (max_sel, max_pos, trim).
+
+    Widths are the whole cost model of the device mapping path — the
+    rank-probe gather and the packed-row fetches execute at a fixed
+    ~4-6 ns/element regardless of table size, and the sorts scale with
+    operand width (BASELINE.md round 5 microbenchmarks) — so every
+    budget scales with the bucket:
+
+    - ``max_sel``: minimizer density is 2/(w+1) = ~L/3 at w=5, and
+      quarter-step buckets keep reads >= 80% of L, so L/3 plus slack
+      covers every read in the bucket (degenerate inputs overflow to
+      the exact host path);
+    - ``max_pos``: candidates are a subset of selected; capped at
+      ``max_pos_cap`` (2048 default keeps the tail's first sort at a
+      pow2 8192 slots — 0.89 ms vs 3.73 at 16384);
+    - ``trim``: = max_pos (real anchors run ~1.2 per candidate, so a
+      1x-candidates anchor budget holds a ~1.6x margin on measured
+      workloads; denser repeat anchors overflow to the host).
+    """
+    Lk = max(L - k + 1, 128)
+    sel = min(-(-(L // 3 + 128) // 128) * 128, -(-Lk // 128) * 128)
+    pos = min(max_pos_cap, sel)
+    trim = pos if max_per_hit > 2 else None
+    return sel, pos, trim
+
+
 def map_all_with_device(
     index: MinimizerIndex,
     reads: SequenceStore,
     cfg: MapperConfig,
     batch_reads: int = 256,
-    max_pos: int = 4096,
+    max_pos: int = 2048,
     max_per_hit: int = 4,
     max_hits: int = 64,
     hit_budget: int | None = None,
@@ -454,13 +484,10 @@ def map_all_with_device(
         n_devices=len(devices), meshed=mesh is not None,
         batch_reads=batch_reads, v2=built is not None,
         total_reads=len(items), overflow_reads=0, dense_repulls=0)
-    # anchor-slot trim + dense hit budget: real anchor counts run ~1.2
-    # per candidate position (vs the max_per_hit=4 worst case) and real
-    # hits ~7 per read (vs max_hits padded slots); both trims are
+    # per-bucket budgets (max_sel / max_pos / trim): every device stage
+    # cost is linear in its static width, so widths scale with the
+    # length bucket (device_bucket_budgets); all trims are
     # exactness-preserving (overflow -> host fallback / padded re-pull)
-    # and cut the warm-pass d2h, the dominant term on a tunnel-attached
-    # chip (BASELINE.md round 4)
-    trim = 2 * max_pos if max_per_hit > 2 else None
     if hit_budget is None:
         hit_budget = 16 * batch_reads
     # mirror the device-side clamp (anchors_to_hits_device_dense): a
@@ -480,22 +507,35 @@ def map_all_with_device(
         )
 
     def bucket_len(n: int) -> int:
+        # quarter-step buckets (pow2 x {1.25, 1.5, 1.75, 2}): a 9 kb
+        # read lands in a 10240 bucket instead of 16384, and every
+        # stage width downstream scales with L (reads fill >= 80% of
+        # their bucket).  All steps are multiples of 256 (packing +
+        # lane alignment).
         L = 1024
         while L < n:
             L *= 2
+        if L > 1024:
+            for frac in (5, 6, 7):
+                cand = (L // 8) * frac
+                if cand >= n:
+                    return cand
         return L
 
     buckets: dict[int, list[tuple[int, bytes]]] = {}
     for rid, seq in items:
         buckets.setdefault(bucket_len(len(seq)), []).append((rid, seq))
 
-    kw = dict(
-        k=cfg.k, w=cfg.w, bandwidth=cfg.bandwidth,
-        min_anchor_count=cfg.min_anchor_count,
-        min_chain_score=cfg.min_chain_score,
-        max_pos=max_pos, max_per_hit=max_per_hit, max_hits=max_hits,
-        trim=trim,
-    )
+    def bucket_kw(L: int) -> dict:
+        sel_L, pos_L, trim_L = device_bucket_budgets(
+            L, cfg.k, max_pos, max_per_hit)
+        return dict(
+            k=cfg.k, w=cfg.w, bandwidth=cfg.bandwidth,
+            min_anchor_count=cfg.min_anchor_count,
+            min_chain_score=cfg.min_chain_score,
+            max_sel=sel_L, max_pos=pos_L, max_per_hit=max_per_hit,
+            max_hits=max_hits, trim=trim_L,
+        )
 
     # device-resident read batches: the pipeline maps the same read
     # store against several indexes (unitigs, corrected unitigs —
@@ -572,7 +612,7 @@ def map_all_with_device(
 
             out, _stats = sharded_map_reads_v2_packed(
                 packed_d, nmask_d, lens_d, tables, mesh,
-                hash_takes=hash_takes, **kw)
+                hash_takes=hash_takes, **bucket_kw(L))
             return out
         if built is not None:
             # 2-bit pack (0.375 bytes/base) — the h2d transfer, not
@@ -583,18 +623,21 @@ def map_all_with_device(
             # backend (docs/DESIGN.md 4b); intermediates never leave
             # the device, and cached_call loads previously serialized
             # executables per shape (compile-once-ever).
+            sel_L, pos_L, trim_L = device_bucket_budgets(
+                L, cfg.k, max_pos, max_per_hit)
             selected, h, strand = cached_call(
                 sketch_device_packed,
                 (packed_d, nmask_d, lens_d),
                 dict(k=cfg.k, w=cfg.w))
             skey, h_s, n_sel = cached_call(
-                select_compact_device_v2, (selected, h, strand), {})
+                select_compact_device_v2, (selected, h, strand),
+                dict(max_sel=sel_L))
             rpv, cand = cached_call(
                 probe_candidates_device_v2, (skey, h_s, tables.rp), {})
             sel = cached_call(
                 compact_candidates_device_v2,
                 (skey, h_s, rpv, cand, n_sel),
-                dict(max_pos=max_pos))
+                dict(max_pos=pos_L))
             anchors = cached_call(
                 expand_anchors_device_v2,
                 (*sel, tables.jrows, tables.erows),
@@ -604,17 +647,18 @@ def map_all_with_device(
                 dict(k=cfg.k, bandwidth=cfg.bandwidth,
                      min_anchor_count=cfg.min_anchor_count,
                      min_chain_score=cfg.min_chain_score,
-                     max_hits=max_hits, trim=trim, budget=hit_budget))
+                     max_hits=max_hits, trim=trim_L, budget=hit_budget))
             # anchors ride along so a budget-exceeding batch (rare) can
             # re-pull through the padded tail without recomputing
-            return ("dense", flat, anchors)
+            return ("dense", flat, anchors, trim_L)
+        lkw = {k2: v2 for k2, v2 in bucket_kw(L).items() if k2 != "max_sel"}
         return cached_call(
             map_reads_device,
             (jnp.asarray(codes), jnp.asarray(lens), *idx_dev,
              bitmap, rank),
-            dict(join_rounds=rounds, **kw))
+            dict(join_rounds=rounds, **lkw))
 
-    def collect_dense(chunk, flat_np, anchors):
+    def collect_dense(chunk, flat_np, anchors, trim):
         R = batch_reads
         n_hits = flat_np[:R]
         ovf = flat_np[R : 2 * R] != 0
@@ -696,9 +740,9 @@ def map_all_with_device(
             arr = np.asarray(window[0][1])
         else:
             arr = np.asarray(_jnp.concatenate([w[1] for w in window]))
-        for j, (chunk, _flat, anchors) in enumerate(window):
+        for j, (chunk, _flat, anchors, trim) in enumerate(window):
             collect_dense(chunk, arr[j * flat_len : (j + 1) * flat_len],
-                          anchors)
+                          anchors, trim)
         window.clear()
 
     pending: tuple | None = None
@@ -707,7 +751,7 @@ def map_all_with_device(
             chunk = members[s : s + batch_reads]
             out = dispatch(chunk, L, s)
             if isinstance(out, tuple) and out and out[0] == "dense":
-                window.append((chunk, out[1], out[2]))
+                window.append((chunk, out[1], out[2], out[3]))
                 if len(window) >= W:
                     drain_window()
                 continue

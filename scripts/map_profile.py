@@ -55,7 +55,7 @@ def timed(name, fn, *args, latency=0.0, **kw):
 
 
 def main() -> None:
-    max_pos = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    max_pos = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     max_per_hit = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     R = int(sys.argv[3]) if len(sys.argv) > 3 else 256
 
@@ -82,9 +82,17 @@ def main() -> None:
     print(f"[profile] sync latency: {lat*1e3:.1f} ms", flush=True)
 
     rng = np.random.default_rng(0)
-    # the production length bucket for 9-16 kb reads (pow2 — matching
-    # the bucket means the profiler reuses production's AOT executables)
-    L = int(sys.argv[4]) if len(sys.argv) > 4 else 16_384
+    # the production length bucket for ~9 kb reads (quarter-step
+    # buckets — matching the bucket means the profiler reuses
+    # production's AOT executables), with the production per-bucket
+    # budgets unless overridden on the command line
+    L = int(sys.argv[4]) if len(sys.argv) > 4 else 10_240
+    from muchsalsa_tpu.pipeline.mapper import device_bucket_budgets
+
+    max_sel, pos_L, trim_L = device_bucket_budgets(L, 15, max_pos, max_per_hit)
+    max_pos = pos_L
+    print(f"[profile] bucket budgets: L={L} max_sel={max_sel} "
+          f"max_pos={max_pos} trim={trim_L}", flush=True)
     codes_np = rng.integers(0, 4, (R, L)).astype(np.uint8)
     codes = jnp.asarray(codes_np)
     lens = jnp.asarray(np.full(R, L, dtype=np.int32))
@@ -106,7 +114,7 @@ def main() -> None:
     total += dt
     selected, h, strand = sk
     (sc, dt) = timed("selcompact", select_compact_device_v2, selected, h,
-                     strand, latency=lat)
+                     strand, latency=lat, max_sel=max_sel)
     total += dt
     skey, h_s, n_sel = sc
     (pr, dt) = timed("probe", probe_candidates_device_v2, skey, h_s,
@@ -123,7 +131,7 @@ def main() -> None:
     total += dt
     (_, dt) = timed(
         "tail", anchors_to_hits_device_packed, *anchors, latency=lat,
-        trim=2 * max_pos if max_per_hit > 2 else None)
+        trim=trim_L)
     total += dt
     print(f"[profile] 6-stage total: {total*1e3:.1f} ms "
           f"({R/total:.0f} reads/s)", flush=True)
@@ -131,7 +139,8 @@ def main() -> None:
     (_, dt) = timed(
         "fused v2", map_reads_device_v2, codes, lens, tables.rp,
         tables.jrows, tables.erows, latency=lat, hash_takes=hash_takes,
-        max_pos=max_pos, max_per_hit=max_per_hit)
+        max_sel=max_sel, max_pos=max_pos, max_per_hit=max_per_hit,
+        trim=trim_L)
     print(f"[profile] fused v2: {R/dt:.0f} reads/s", flush=True)
 
 

@@ -23,7 +23,7 @@ import numpy as np
 def main() -> None:
     genome_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 4.6
     coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 15.0
-    max_pos = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+    max_pos = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
     max_per_hit = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
     import jax
