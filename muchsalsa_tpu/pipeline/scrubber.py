@@ -177,6 +177,52 @@ def _subset_schedule(
     return schedule
 
 
+def _device_all_vs_all(subset_store: SequenceStore, mapper_cfg,
+                       entry_budget: float = 100e6):
+    """All-vs-all of one scrub subset on the device.
+
+    A 60 k-read subset indexes ~180M minimizer entries — past the v2
+    join tables' 27-bit packing bound (``build_device_tables`` would
+    refuse and the mapper would fall into the legacy per-shape-compile
+    path, one remote compile PER SUBSET).  So the index side is built
+    in CONTIGUOUS id chunks small enough to pack, every subset read is
+    mapped against each chunk on the device, and chunk-local target
+    ids are rebased.  Because chunks are ascending id ranges and the
+    mapper emits hits in (target, strand, diagonal) order, the
+    concatenated per-read hit lists are in exactly the single-index
+    order — records (and therefore scrub output) are identical.
+    """
+    from muchsalsa_tpu.pipeline.mapper import (
+        MinimizerIndex, map_all_with_device)
+
+    items = list(subset_store.items())
+    # size chunks by estimated entries (~len/3 minimizers per read),
+    # capped well under the 2^27 packed-slot bound
+    budget = entry_budget
+    est = [len(seq) / 3 + 64 for _rid, seq in items]
+    chunks: list[tuple[int, int]] = []
+    start, acc = 0, 0.0
+    for i, e in enumerate(est):
+        if acc + e > budget and i > start:
+            chunks.append((start, i))
+            start, acc = i, 0.0
+        acc += e
+    chunks.append((start, len(items)))
+
+    merged: dict[int, list] = {rid: [] for rid, _seq in items}
+    for lo, hi in chunks:
+        chunk_store = SequenceStore()
+        for rid, seq in items[lo:hi]:
+            chunk_store.add(subset_store.registry.name(rid), seq)
+        index_c = MinimizerIndex.build(chunk_store, mapper_cfg)
+        per = map_all_with_device(index_c, subset_store, mapper_cfg)
+        for rid, maps in per:
+            for m in maps:
+                m.unitig += lo  # rebase chunk-local target ids
+            merged[rid].extend(maps)
+    return [(rid, merged[rid]) for rid, _seq in items]
+
+
 def _subset_overlap_records(
     subset: list[str], reads: SequenceStore, scrub_cfg, mapper_cfg,
     device: bool = False,
@@ -204,17 +250,19 @@ def _subset_overlap_records(
         if rid is not None and rid in reads:
             subset_store.add(name, reads.sequence(rid))
 
-    sketches = None
-    if not use_native:
-        sketches = {
-            sid: minimizers(seq, mapper_cfg.k, mapper_cfg.w)
-            for sid, seq in subset_store.items()
-        }
-    index = MinimizerIndex.build(subset_store, mapper_cfg, sketches=sketches)
-
     if device:
-        per_read = map_all_with_device(index, subset_store, mapper_cfg)
+        per_read = _device_all_vs_all(subset_store, mapper_cfg)
+        sketches = None
+        index = None
     else:
+        sketches = None
+        if not use_native:
+            sketches = {
+                sid: minimizers(seq, mapper_cfg.k, mapper_cfg.w)
+                for sid, seq in subset_store.items()
+            }
+        index = MinimizerIndex.build(subset_store, mapper_cfg,
+                                     sketches=sketches)
         per_read = map_batch(index, subset_store, mapper_cfg) if use_native else None
     if per_read is None:
         per_read = [

@@ -102,3 +102,44 @@ def test_device_scrub_matches_host(tmp_path):
     dev = scrub_reads(paf, reads, ScrubConfig(subset_size=3), mcfg,
                       device=True)
     assert dev == host
+
+
+def test_device_all_vs_all_chunked_matches_single():
+    """The chunked-index device all-vs-all (subsets past the v2 packing
+    bound split the INDEX side into contiguous id chunks) must produce
+    the exact per-read hit lists of the single-index run — order
+    included, since the scrub's range merge is order-dependent."""
+    from muchsalsa_tpu.pipeline.scrubber import _device_all_vs_all
+
+    rng = np.random.default_rng(79)
+    genome = random_genome(rng, 40_000)
+    store = SequenceStore()
+    for i in range(10):
+        s = i * 3600
+        store.add(f"r{i}", genome[s : s + 7000])
+
+    mcfg = MapperConfig()
+    single = _device_all_vs_all(store, mcfg)
+    assert any(maps for _rid, maps in single), "fixture must overlap"
+    # entry budget ~ one read's minimizers -> one chunk per read
+    chunked = _device_all_vs_all(store, mcfg, entry_budget=3_000)
+    assert chunked == single
+
+    # and the full scrub output through forced chunking is unchanged
+    unitigs = SequenceStore()
+    for i in range(9):
+        unitigs.add(f"u{i}", genome[i * 3600 + 3000 : i * 3600 + 4200])
+    paf = map_all(MinimizerIndex.build(unitigs, mcfg), store, mcfg)
+    host = scrub_reads(paf, store, ScrubConfig(subset_size=3), mcfg)
+
+    import muchsalsa_tpu.pipeline.scrubber as scr
+
+    orig = scr._device_all_vs_all
+    try:
+        scr._device_all_vs_all = (
+            lambda s, m, entry_budget=3_000: orig(s, m, entry_budget))
+        dev = scrub_reads(paf, store, ScrubConfig(subset_size=3), mcfg,
+                          device=True)
+    finally:
+        scr._device_all_vs_all = orig
+    assert dev == host
