@@ -90,6 +90,25 @@ def _pack_blocks(sizes):
     return starts, total
 
 
+def _row_bucket(n: int) -> int:
+    """Round a table row count up to a quarter-step bucket (pow2 x
+    {1, 1.25, 1.5, 1.75}).  The jit'd join stages take jrows/erows as
+    array operands, so their ROW COUNTS are part of the executable's
+    shape key: unbucketed counts would mean one remote compile per
+    index (each scrub subset chunk, each pipeline map stage).  Pad rows
+    are zeros; clipped takes read them only for overflow-flagged reads.
+    Memory cost <= 25%."""
+    L = 256
+    while L < n:
+        L *= 2
+    if L > 256:
+        for frac in (5, 6, 7):
+            cand = (L // 8) * frac
+            if cand >= n:
+                return cand
+    return L
+
+
 def build_device_tables(
     idx_hashes, idx_offsets, entry_unitig, entry_pos, entry_strand,
 ):
@@ -116,7 +135,7 @@ def build_device_tables(
     packed = _np.asarray(entry_unitig, _np.int64) * 2 + _np.asarray(
         entry_strand, _np.int64)
     pos = _np.asarray(entry_pos, _np.int64)
-    ER = (E2 + 7) // 8 + 4  # pad rows: clipped takes read zeros
+    ER = _row_bucket((E2 + 7) // 8 + 4)  # pad rows: clipped takes read zeros
     erows = _np.zeros((ER, 16), dtype=_np.int32)
     dst = _np.repeat(estarts, ecnt) + (
         _np.arange(int(off[-1])) - _np.repeat(off[:-1], ecnt))
@@ -137,7 +156,7 @@ def build_device_tables(
     first_idx = _np.concatenate([[0], _np.cumsum(bcnt[nonempty])[:-1]])
     within = _np.arange(H) - _np.repeat(first_idx, bcnt[nonempty])
     hdst = _np.repeat(hstarts_b, bcnt[nonempty]) + within
-    JR = (H2 + 7) // 8 + 4  # pad rows: clipped takes read zeros
+    JR = _row_bucket((H2 + 7) // 8 + 4)  # pad rows: clipped takes read zeros
     jrows = _np.zeros((JR, 16), dtype=_np.uint32)
     val = (estarts[: H] | (_np.minimum(ecnt, _CNT_CAP) << _PACK_BITS)).astype(
         _np.uint32)
