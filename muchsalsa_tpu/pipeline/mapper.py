@@ -433,6 +433,7 @@ def map_all_with_device(
     max_per_hit: int = 4,
     max_hits: int = 64,
     hit_budget: int | None = None,
+    prebuilt=None,
 ) -> list[tuple[int, list[Mapping]]]:
     """Map every read on the device (ops/mapping_jax.py), falling back
     to the host path for reads whose anchors exceed the static device
@@ -465,8 +466,8 @@ def map_all_with_device(
     items = list(reads.items())
     if not items:
         return []
-    built = None
-    if max_per_hit < 31:  # v2 count-saturation bound
+    built = prebuilt
+    if built is None and max_per_hit < 31:  # v2 count-saturation bound
         built = build_device_tables(
             index.hashes, index.offsets, index.entry_unitig, index.entry_pos,
             index.entry_strand)

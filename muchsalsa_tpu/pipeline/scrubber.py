@@ -178,7 +178,7 @@ def _subset_schedule(
 
 
 def _device_all_vs_all(subset_store: SequenceStore, mapper_cfg,
-                       entry_budget: float = 100e6):
+                       entry_budget: float = 60e6):
     """All-vs-all of one scrub subset on the device.
 
     A 60 k-read subset indexes ~180M minimizer entries — past the v2
@@ -192,12 +192,17 @@ def _device_all_vs_all(subset_store: SequenceStore, mapper_cfg,
     concatenated per-read hit lists are in exactly the single-index
     order — records (and therefore scrub output) are identical.
     """
+    from muchsalsa_tpu.ops.mapping_jax import build_device_tables
     from muchsalsa_tpu.pipeline.mapper import (
         MinimizerIndex, map_all_with_device)
 
     items = list(subset_store.items())
-    # size chunks by estimated entries (~len/3 minimizers per read),
-    # capped well under the 2^27 packed-slot bound
+    # size chunks by estimated entries (~len/3 minimizers per read).
+    # The binding constraint is usually the rank-probe bucket cap (<=31
+    # distinct hashes per 2^22-bucket), not the 27-bit offset bound, so
+    # packability is VERIFIED per chunk (build_device_tables refuses)
+    # and refused chunks split in half; the built tables feed the
+    # mapper via ``prebuilt`` so nothing builds twice.
     budget = entry_budget
     est = [len(seq) / 3 + 64 for _rid, seq in items]
     chunks: list[tuple[int, int]] = []
@@ -210,12 +215,23 @@ def _device_all_vs_all(subset_store: SequenceStore, mapper_cfg,
     chunks.append((start, len(items)))
 
     merged: dict[int, list] = {rid: [] for rid, _seq in items}
-    for lo, hi in chunks:
+    stack = list(reversed(chunks))
+    while stack:
+        lo, hi = stack.pop()
         chunk_store = SequenceStore()
         for rid, seq in items[lo:hi]:
             chunk_store.add(subset_store.registry.name(rid), seq)
         index_c = MinimizerIndex.build(chunk_store, mapper_cfg)
-        per = map_all_with_device(index_c, subset_store, mapper_cfg)
+        built = build_device_tables(
+            index_c.hashes, index_c.offsets, index_c.entry_unitig,
+            index_c.entry_pos, index_c.entry_strand)
+        if built is None and hi - lo > 1:
+            mid = (lo + hi) // 2
+            stack.append((mid, hi))
+            stack.append((lo, mid))
+            continue
+        per = map_all_with_device(index_c, subset_store, mapper_cfg,
+                                  prebuilt=built)
         for rid, maps in per:
             for m in maps:
                 m.unitig += lo  # rebase chunk-local target ids
