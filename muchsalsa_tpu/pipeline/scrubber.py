@@ -197,6 +197,22 @@ def _device_all_vs_all(subset_store: SequenceStore, mapper_cfg,
         MinimizerIndex, map_all_with_device)
 
     items = list(subset_store.items())
+    # multiplicity guard (measured, BASELINE.md round 5): in an
+    # all-vs-all every minimizer indexes ~coverage reads, so at
+    # coverage > max_per_hit EVERY read trips the per-minimizer
+    # expansion cap and "device" degrades to N-chunk host fallback
+    # (1,697 s vs 215 s host at 40 Mb).  The exact multiplicity is
+    # entries/hashes of the full subset index (one build — the host
+    # path pays the same); past the cap return None and let the
+    # caller run the plain host path.
+    full_idx = MinimizerIndex.build(subset_store, mapper_cfg)
+    if len(full_idx.hashes):
+        mult = len(full_idx.entry_pos) / len(full_idx.hashes)
+        if mult > 4:
+            print(f"[scrub] device ava declined: minimizer multiplicity "
+                  f"{mult:.1f} > expansion cap (coverage-bound "
+                  f"all-vs-all runs host-native)", flush=True)
+            return None
     # size chunks by estimated entries (~len/3 minimizers per read).
     # The binding constraint is usually the rank-probe bucket cap (<=31
     # distinct hashes per 2^22-bucket), not the 27-bit offset bound, so
@@ -266,12 +282,12 @@ def _subset_overlap_records(
         if rid is not None and rid in reads:
             subset_store.add(name, reads.sequence(rid))
 
+    per_read = None
+    sketches = None
+    index = None
     if device:
         per_read = _device_all_vs_all(subset_store, mapper_cfg)
-        sketches = None
-        index = None
-    else:
-        sketches = None
+    if per_read is None:
         if not use_native:
             sketches = {
                 sid: minimizers(seq, mapper_cfg.k, mapper_cfg.w)
