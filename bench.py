@@ -248,7 +248,8 @@ def _bench_full_mapping(latency: float) -> float:
         anchors = expand_anchors_device_v2(
             *sel, tables.jrows, tables.erows, max_per_hit=4,
             hash_takes=hash_takes)
-        return anchors_to_hits_device_packed(*anchors, trim=trim)
+        return anchors_to_hits_device_packed(*anchors, trim=trim,
+                                             per_hit_cap=4)
 
     out = chain(packed, nmask, lens)  # compile / warm every stage
     _ = np.asarray(out[0, 0])

@@ -540,8 +540,16 @@ def _v2_expand(
 ):
     """v2 stage 2: packed-row join + packed-row entry expansion.
     Returns the flat anchor arrays (key, diag, aq, at) of shape
-    (R, max_pos*max_per_hit) plus the or-updated overflow flags —
-    input to :func:`_anchors_to_hits`.
+    (R, max_pos*max_per_hit) plus the WIDTH overflow flags and the
+    per-read ``max_ecnt`` (max index-entry count over the read's found
+    minimizers, saturated at 31) — inputs to :func:`_anchors_to_hits`.
+
+    ``max_ecnt`` is the tier-routing signal (round 5): a read whose
+    only budget violation is ``max_ecnt > max_per_hit`` loses no
+    anchors at a HIGHER ``max_per_hit``, so the host can re-dispatch it
+    through a wider-expansion executable instead of falling back — the
+    cap violation itself is NOT folded into ``overflow`` here (the
+    chaining tail folds it via ``per_hit_cap``).
 
     Every random access is either one 4-byte rank-probe gather or a
     contiguous 16-word row fetch (``jnp.take(..., axis=0)``), replacing
@@ -584,7 +592,7 @@ def _v2_expand(
     val = jnp.sum(jnp.where(match, wval, jnp.uint32(0)), axis=-1)  # <=1 match
     elo = (val & jnp.uint32(_PACK_MASK)).astype(jnp.int32)
     ecnt = (val >> _PACK_BITS).astype(jnp.int32)
-    overflow = overflow | jnp.any(found & (ecnt > A), axis=1)
+    max_ecnt = jnp.max(jnp.where(found, ecnt, 0), axis=1)
     cnt_c = jnp.where(found, jnp.minimum(ecnt, A), 0)
 
     # -- expand: fetch each hash's entry block as packed entry rows.
@@ -626,7 +634,7 @@ def _v2_expand(
     aq = aq.reshape(R, S)
     at = jnp.where(a_valid, at, 0).reshape(R, S)
 
-    return key, diag, aq, at, overflow
+    return key, diag, aq, at, overflow, max_ecnt
 
 
 def _v2_anchors(
@@ -763,9 +771,10 @@ def map_reads_device_v2(
     (:func:`_v2_anchors`) + chaining tail (:func:`_anchors_to_hits`).
     Same results as the split pair below; kept for small shapes and as
     the semantics reference."""
-    key, diag, aq, at, overflow = _v2_anchors(
+    key, diag, aq, at, overflow, max_ecnt = _v2_anchors(
         codes, lens, rp, jrows, erows, k=k, w=w, max_sel=max_sel,
         max_pos=max_pos, max_per_hit=max_per_hit, hash_takes=hash_takes)
+    overflow = overflow | (max_ecnt > max_per_hit)
     return _anchors_to_hits(
         key, diag, aq, at, k, bandwidth, min_anchor_count, min_chain_score,
         max_hits, overflow, trim=trim,
@@ -802,21 +811,28 @@ def map_anchors_device_v2_packed(
 
 @partial(jax.jit, static_argnames=(
     "k", "bandwidth", "min_anchor_count", "min_chain_score", "max_hits",
-    "trim"))
+    "trim", "per_hit_cap"))
 def anchors_to_hits_device(
     key: jnp.ndarray,
     diag: jnp.ndarray,
     aq: jnp.ndarray,
     at: jnp.ndarray,
     overflow: jnp.ndarray,
+    max_ecnt: jnp.ndarray | None = None,
     k: int = 15,
     bandwidth: int = 500,
     min_anchor_count: int = 4,
     min_chain_score: int = 100,
     max_hits: int = 64,
     trim: int | None = None,
+    per_hit_cap: int | None = None,
 ):
-    """Second half of the split v2 mapping pipeline: chaining tail."""
+    """Second half of the split v2 mapping pipeline: chaining tail.
+    ``per_hit_cap`` folds the expansion-cap violation (``max_ecnt >
+    cap``) into the overflow flag (the expand stage emits the count
+    but no longer folds it, so the host can tier-route)."""
+    if max_ecnt is not None and per_hit_cap is not None:
+        overflow = overflow | (max_ecnt > per_hit_cap)
     return _anchors_to_hits(
         key, diag, aq, at, k, bandwidth, min_anchor_count,
         min_chain_score, max_hits, overflow, trim=trim)
@@ -828,25 +844,29 @@ HIT_FIELDS = ("unitig", "strand", "qs", "qe", "ts", "te", "matches",
 
 @partial(jax.jit, static_argnames=(
     "k", "bandwidth", "min_anchor_count", "min_chain_score", "max_hits",
-    "trim"))
+    "trim", "per_hit_cap"))
 def anchors_to_hits_device_packed(
     key: jnp.ndarray,
     diag: jnp.ndarray,
     aq: jnp.ndarray,
     at: jnp.ndarray,
     overflow: jnp.ndarray,
+    max_ecnt: jnp.ndarray | None = None,
     k: int = 15,
     bandwidth: int = 500,
     min_anchor_count: int = 4,
     min_chain_score: int = 100,
     max_hits: int = 64,
     trim: int | None = None,
+    per_hit_cap: int | None = None,
 ):
     """:func:`anchors_to_hits_device` with the result packed into ONE
     (R, 8*max_hits + 2) int32 array — [HIT_FIELDS x max_hits | n_hits |
     overflow].  One d2h transfer per batch instead of ten: each
     transfer pays ~20 ms tunnel latency (measured: the ten-array dict
     cost 7.4 s of a 26 s warm pass)."""
+    if max_ecnt is not None and per_hit_cap is not None:
+        overflow = overflow | (max_ecnt > per_hit_cap)
     out = _anchors_to_hits(
         key, diag, aq, at, k, bandwidth, min_anchor_count,
         min_chain_score, max_hits, overflow, trim=trim)
@@ -868,6 +888,7 @@ def anchors_to_hits_device_dense(
     aq: jnp.ndarray,
     at: jnp.ndarray,
     overflow: jnp.ndarray,
+    max_ecnt: jnp.ndarray | None = None,
     k: int = 15,
     bandwidth: int = 500,
     min_anchor_count: int = 4,
@@ -887,20 +908,33 @@ def anchors_to_hits_device_dense(
              qe | ts | te | matches | n_anchors], hits in
              (read, hit-slot) order, ``flat_slot = rid*max_hits+slot``
              (_I32_MAX rows = padding);
-      meta:  (R, 2) int32 [n_hits | overflow].
+      meta:  per-read [n_hits | width_overflow | max_ecnt] — the
+             overflow word here is WIDTH overflow only (selection /
+             candidate / anchor / hit budgets); the expansion-cap
+             violation is reported via max_ecnt so the HOST decides:
+             a read needs handling iff width_overflow or max_ecnt >
+             max_per_hit, and cap-only violations can re-dispatch
+             through a wider-``max_per_hit`` tier executable instead
+             of falling back to the host path (round 5).
 
     If the batch's total hits exceed ``budget`` the caller must re-pull
     via the padded tail (detectable host-side: sum(min(n_hits,
     max_hits)) > budget); per-read semantics are unchanged.
 
-    Everything returns as ONE flat (2R + 9*budget,) int32 array
-    [n_hits (R) | overflow (R) | dense rows row-major]: each d2h
-    transfer through the tunnel pays ~25 ms of round-trip latency, so
-    a separate meta pull would cost more than the bytes it saves.
+    Everything returns as ONE flat (3R + 9*budget,) int32 array
+    [n_hits (R) | width_overflow (R) | max_ecnt (R) | dense rows
+    row-major]: each d2h transfer through the tunnel pays ~25 ms of
+    round-trip latency, so a separate meta pull would cost more than
+    the bytes it saves.
     """
+    # the tail's hit outputs do not depend on the overflow input (it
+    # is only OR-carried), so run it on the raw width sources and keep
+    # the cap violation separate in the meta
     out = _anchors_to_hits(
         key, diag, aq, at, k, bandwidth, min_anchor_count,
         min_chain_score, max_hits, overflow, trim=trim)
+    me_word = (max_ecnt if max_ecnt is not None
+               else jnp.zeros_like(out["n_hits"]))
     R = key.shape[0]
     F = R * max_hits
     # clamp: sort(flat_key)[:B] can never yield more than F rows, and a
@@ -927,6 +961,7 @@ def anchors_to_hits_device_dense(
     return jnp.concatenate([
         out["n_hits"].astype(jnp.int32),
         out["overflow"].astype(jnp.int32),
+        me_word.astype(jnp.int32),
         dense.reshape(9 * B),
     ])
 

@@ -420,7 +420,13 @@ def device_bucket_budgets(
     Lk = max(L - k + 1, 128)
     sel = min(-(-(L // 3 + 128) // 128) * 128, -(-Lk // 128) * 128)
     pos = min(max_pos_cap, sel)
-    trim = pos if max_per_hit > 2 else None
+    if max_per_hit <= 2:
+        trim = None
+    elif max_per_hit <= 4:
+        trim = pos
+    else:
+        # wider expansion tiers (repeat-heavy reads) carry more anchors
+        trim = 2 * pos
     return sel, pos, trim
 
 
@@ -484,7 +490,8 @@ def map_all_with_device(
     DEVICE_MAP_STATS.update(
         n_devices=len(devices), meshed=mesh is not None,
         batch_reads=batch_reads, v2=built is not None,
-        total_reads=len(items), overflow_reads=0, dense_repulls=0)
+        total_reads=len(items), overflow_reads=0, dense_repulls=0,
+        tier2_reads=0)
     # per-bucket budgets (max_sel / max_pos / trim): every device stage
     # cost is linear in its static width, so widths scale with the
     # length bucket (device_bucket_budgets); all trims are
@@ -595,7 +602,7 @@ def map_all_with_device(
         _cache_put(key, cached)
         return cached
 
-    def dispatch(chunk, L, s):
+    def dispatch(chunk, L, s, mph=max_per_hit, pos_cap=max_pos):
         if built is not None:
             packed_d, nmask_d, lens_d = packed_batch(chunk, L, s)
         else:
@@ -625,7 +632,7 @@ def map_all_with_device(
             # the device, and cached_call loads previously serialized
             # executables per shape (compile-once-ever).
             sel_L, pos_L, trim_L = device_bucket_budgets(
-                L, cfg.k, max_pos, max_per_hit)
+                L, cfg.k, pos_cap, mph)
             selected, h, strand = cached_call(
                 sketch_device_packed,
                 (packed_d, nmask_d, lens_d),
@@ -642,7 +649,7 @@ def map_all_with_device(
             anchors = cached_call(
                 expand_anchors_device_v2,
                 (*sel, tables.jrows, tables.erows),
-                dict(max_per_hit=max_per_hit, hash_takes=hash_takes))
+                dict(max_per_hit=mph, hash_takes=hash_takes))
             flat = cached_call(
                 anchors_to_hits_device_dense, tuple(anchors),
                 dict(k=cfg.k, bandwidth=cfg.bandwidth,
@@ -651,7 +658,7 @@ def map_all_with_device(
                      max_hits=max_hits, trim=trim_L, budget=hit_budget))
             # anchors ride along so a budget-exceeding batch (rare) can
             # re-pull through the padded tail without recomputing
-            return ("dense", flat, anchors, trim_L)
+            return ("dense", flat, anchors, trim_L, mph)
         lkw = {k2: v2 for k2, v2 in bucket_kw(L).items() if k2 != "max_sel"}
         return cached_call(
             map_reads_device,
@@ -659,19 +666,31 @@ def map_all_with_device(
              bitmap, rank),
             dict(join_rounds=rounds, **lkw))
 
-    def collect_dense(chunk, flat_np, anchors, trim):
+    def collect_dense(chunk, flat_np, anchors, trim, mph):
         R = batch_reads
         n_hits = flat_np[:R]
-        ovf = flat_np[R : 2 * R] != 0
+        width_ovf = flat_np[R : 2 * R] != 0
+        max_ecnt = flat_np[2 * R : 3 * R]
         counts = np.minimum(n_hits, max_hits)
         if int(counts.sum()) <= hit_budget:
-            dense_np = flat_np[2 * R :].reshape(hit_budget, 9)
+            dense_np = flat_np[3 * R :].reshape(hit_budget, 9)
             offs = np.zeros(len(counts) + 1, dtype=np.int64)
             np.cumsum(counts, out=offs[1:])
             for i, (rid, seq) in enumerate(chunk):
-                if ovf[i]:
-                    DEVICE_MAP_STATS["overflow_reads"] += 1
-                    results[rid] = map_read(index, seq, cfg)
+                if width_ovf[i] or max_ecnt[i] > mph:
+                    # tier 2 widens BOTH the expansion cap and the
+                    # anchor trim (2x), so cap violations AND
+                    # trim-width overflow both retry on-device; reads
+                    # hot past tier 2's own cap go straight to the
+                    # host (round 5 — on repeat-rich genomes overflow
+                    # was ~100% of reads at cap 4 / trim 1x)
+                    if mph < tier2_mph and max_ecnt[i] <= tier2_mph:
+                        deferred.setdefault(
+                            bucket_len(len(seq)), []).append((rid, seq))
+                        DEVICE_MAP_STATS["tier2_reads"] += 1
+                    else:
+                        DEVICE_MAP_STATS["overflow_reads"] += 1
+                        results[rid] = map_read(index, seq, cfg)
                     continue
                 rows = dense_np[offs[i] : offs[i + 1]]
                 results[rid] = [
@@ -685,13 +704,14 @@ def map_all_with_device(
                 ]
             return
         # batch exceeded the dense budget: re-pull the padded tail
+        # (cap violations fold into its overflow -> host fallback)
         DEVICE_MAP_STATS["dense_repulls"] += 1
         out = cached_call(
             anchors_to_hits_device_packed, tuple(anchors),
             dict(k=cfg.k, bandwidth=cfg.bandwidth,
                  min_anchor_count=cfg.min_anchor_count,
                  min_chain_score=cfg.min_chain_score,
-                 max_hits=max_hits, trim=trim))
+                 max_hits=max_hits, trim=trim, per_hit_cap=mph))
         collect(chunk, out)
 
     def collect(chunk, out):
@@ -723,6 +743,16 @@ def map_all_with_device(
             ]
 
     results: dict[int, list[Mapping]] = {}
+    # second-tier expansion cap (0 disables): reads whose ONLY budget
+    # violation is a minimizer with max_per_hit < entries <= tier2_mph
+    # re-dispatch through a wider-expansion executable instead of
+    # falling back to the host — on repeat-rich genomes the ANY-hot-
+    # minimizer amplification made overflow ~100% at cap 4 while <0.5%
+    # of minimizers are actually hot (BASELINE.md round 5)
+    tier2_mph = int(os.environ.get("MS_TPU_MAP_TIER2", "16"))
+    if tier2_mph <= max_per_hit:
+        tier2_mph = 0
+    deferred: dict[int, list[tuple[int, bytes]]] = {}
     # windowed pull loop: dense-path batches accumulate W at a time and
     # come back in ONE device-side concat + d2h (each tunnel round trip
     # costs ~25 ms of latency on top of the bytes — per-batch pulls
@@ -730,7 +760,7 @@ def map_all_with_device(
     # 4); non-dense paths keep the round-3 double buffering
     window: list = []
     W = max(1, int(os.environ.get("MS_TPU_PULL_WINDOW", "8")))
-    flat_len = 2 * batch_reads + 9 * hit_budget
+    flat_len = 3 * batch_reads + 9 * hit_budget
 
     def drain_window():
         if not window:
@@ -741,9 +771,9 @@ def map_all_with_device(
             arr = np.asarray(window[0][1])
         else:
             arr = np.asarray(_jnp.concatenate([w[1] for w in window]))
-        for j, (chunk, _flat, anchors, trim) in enumerate(window):
+        for j, (chunk, _flat, anchors, trim, mph) in enumerate(window):
             collect_dense(chunk, arr[j * flat_len : (j + 1) * flat_len],
-                          anchors, trim)
+                          anchors, trim, mph)
         window.clear()
 
     pending: tuple | None = None
@@ -752,7 +782,7 @@ def map_all_with_device(
             chunk = members[s : s + batch_reads]
             out = dispatch(chunk, L, s)
             if isinstance(out, tuple) and out and out[0] == "dense":
-                window.append((chunk, out[1], out[2], out[3]))
+                window.append((chunk, *out[1:]))
                 if len(window) >= W:
                     drain_window()
                 continue
@@ -762,6 +792,32 @@ def map_all_with_device(
     drain_window()
     if pending is not None:
         collect(*pending)
+
+    # tier-2 pass over the deferred reads: wider expansion cap AND
+    # wider candidate/anchor widths (2x max_pos, 2x-of-that trim) — the
+    # tier-1 widths are tuned for speed on the common case, and both
+    # the cap and the width budgets are index-coverage-sensitive
+    # (BASELINE.md round 5: a 77%-coverage index put every read's
+    # candidate count past the tier-1 cap).  Tier 2's own violations
+    # fall back to the host in collect_dense (mph == tier2_mph there).
+    if deferred and built is not None and mesh is None:
+        t2_buckets, deferred = deferred, {}
+        for L, members in sorted(t2_buckets.items()):
+            for j, s in enumerate(range(0, len(members), batch_reads)):
+                chunk = members[s : s + batch_reads]
+                out = dispatch(chunk, L, ("t2", L, j), mph=tier2_mph,
+                               pos_cap=2 * max_pos)
+                window.append((chunk, *out[1:]))
+                if len(window) >= W:
+                    drain_window()
+        drain_window()
+    elif deferred:
+        # meshed / legacy paths have no tier executables: host fallback
+        for members in deferred.values():
+            for rid, seq in members:
+                DEVICE_MAP_STATS["overflow_reads"] += 1
+                results[rid] = map_read(index, seq, cfg)
+
     return [(rid, results[rid]) for rid, _ in items]
 
 

@@ -131,7 +131,7 @@ def main() -> None:
     total += dt
     (_, dt) = timed(
         "tail", anchors_to_hits_device_packed, *anchors, latency=lat,
-        trim=trim_L)
+        trim=trim_L, per_hit_cap=max_per_hit)
     total += dt
     print(f"[profile] 6-stage total: {total*1e3:.1f} ms "
           f"({R/total:.0f} reads/s)", flush=True)

@@ -288,6 +288,49 @@ def test_map_all_with_device_dense_budget_repull(monkeypatch):
     assert tight == roomy
 
 
+def test_map_all_with_device_tier2_rescues_repeat_reads(monkeypatch):
+    """Reads whose ONLY budget violation is a 5..16-entry minimizer
+    must be recovered by the tier-2 (wider max_per_hit) device pass —
+    not the host fallback — with identical results (round 5: on
+    repeat-rich genomes the any-hot-minimizer amplification made
+    overflow ~100% at cap 4).  Pinned to one device: the meshed path
+    has no tier executables."""
+    import jax
+
+    from muchsalsa_tpu.pipeline.mapper import (
+        DEVICE_MAP_STATS, map_all_with_device, map_read)
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [dev0])
+
+    rng = np.random.default_rng(48)
+    rep = random_genome(rng, 300)
+    store = SequenceStore()
+    for i in range(6):  # 6 entries per repeat minimizer: cap 2 < 6 <= 16
+        g = random_genome(rng, 600)
+        store.add(f"u{i}", g[:200] + rep + g[200:])
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+
+    reads = SequenceStore()
+    for i in range(4):
+        reads.add(f"rep{i}", rep)
+    reads.add("uniq", store.sequence(0)[:180])
+
+    out = map_all_with_device(index, reads, cfg, max_pos=1024, max_per_hit=2)
+    assert DEVICE_MAP_STATS["tier2_reads"] >= 4
+    assert DEVICE_MAP_STATS["overflow_reads"] == 0
+    for rid, maps in out:
+        assert maps == map_read(index, reads.sequence(rid), cfg)
+
+    # with tier 2 disabled the same reads fall back to the host
+    monkeypatch.setenv("MS_TPU_MAP_TIER2", "0")
+    out2 = map_all_with_device(index, reads, cfg, max_pos=1024, max_per_hit=2)
+    assert DEVICE_MAP_STATS["overflow_reads"] >= 4
+    assert out2 == out
+
+
 def test_map_all_with_device_empty():
     from muchsalsa_tpu.pipeline.mapper import map_all_with_device
 
@@ -565,7 +608,7 @@ def test_split_pipeline_matches_fused():
         split = anchors_to_hits_device(
             *anchors, k=cfg.k, bandwidth=cfg.bandwidth,
             min_anchor_count=cfg.min_anchor_count,
-            min_chain_score=cfg.min_chain_score)
+            min_chain_score=cfg.min_chain_score, per_hit_cap=A)
         for key in fused:
             np.testing.assert_array_equal(
                 np.asarray(fused[key]), np.asarray(split[key]),
