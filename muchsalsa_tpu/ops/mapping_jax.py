@@ -939,7 +939,7 @@ def anchors_to_hits_device_dense(
     F = R * max_hits
     # clamp: sort(flat_key)[:B] can never yield more than F rows, and a
     # caller-set budget > F would make the returned flat array shorter
-    # than the host's expected 2R+9*budget layout (reshape crash in
+    # than the host's expected 3R+9*budget layout (reshape crash in
     # collect_dense); the host side clamps identically
     B = min(budget if budget is not None else 16 * R, F)
     slot = jax.lax.broadcasted_iota(jnp.int32, (R, max_hits), 1)

@@ -394,6 +394,24 @@ def map_all(
     return lines
 
 
+def device_bucket_len(n: int) -> int:
+    """Quarter-step read-length buckets (pow2 x {1.25, 1.5, 1.75, 2}):
+    a 9 kb read lands in a 10240 bucket instead of 16384, and every
+    device stage width downstream scales with L (reads fill >= 80% of
+    their bucket).  All steps are multiples of 256 (packing + lane
+    alignment).  Module-level so probes/benches share production's
+    shapes (scripts/map_exec_probe.py)."""
+    L = 1024
+    while L < n:
+        L *= 2
+    if L > 1024:
+        for frac in (5, 6, 7):
+            cand = (L // 8) * frac
+            if cand >= n:
+                return cand
+    return L
+
+
 def device_bucket_budgets(
     L: int, k: int, max_pos_cap: int, max_per_hit: int,
 ) -> tuple[int, int, int | None]:
@@ -514,25 +532,9 @@ def map_all_with_device(
             jnp.asarray(index.entry_strand),
         )
 
-    def bucket_len(n: int) -> int:
-        # quarter-step buckets (pow2 x {1.25, 1.5, 1.75, 2}): a 9 kb
-        # read lands in a 10240 bucket instead of 16384, and every
-        # stage width downstream scales with L (reads fill >= 80% of
-        # their bucket).  All steps are multiples of 256 (packing +
-        # lane alignment).
-        L = 1024
-        while L < n:
-            L *= 2
-        if L > 1024:
-            for frac in (5, 6, 7):
-                cand = (L // 8) * frac
-                if cand >= n:
-                    return cand
-        return L
-
     buckets: dict[int, list[tuple[int, bytes]]] = {}
     for rid, seq in items:
-        buckets.setdefault(bucket_len(len(seq)), []).append((rid, seq))
+        buckets.setdefault(device_bucket_len(len(seq)), []).append((rid, seq))
 
     def bucket_kw(L: int) -> dict:
         sel_L, pos_L, trim_L = device_bucket_budgets(
@@ -572,9 +574,13 @@ def map_all_with_device(
             used -= sz
         dev_cache[key] = (arrays, nbytes)
 
-    def packed_batch(chunk, L, s):
+    def packed_batch(chunk, L, s, cache=True):
+        # tier-2 batches never cache: their membership depends on the
+        # INDEX (which reads overflowed), so a positional key would
+        # alias stale packed reads across map_all_with_device calls on
+        # the same store and zip hits onto the wrong read ids
         key = (L, s, batch_reads)
-        hit = dev_cache.get(key)
+        hit = dev_cache.get(key) if cache else None
         if hit is not None:
             cached, _sz = dev_cache.pop(key)
             dev_cache[key] = (cached, _sz)  # LRU: move to back
@@ -599,12 +605,15 @@ def map_all_with_device(
             packed, nmask = pack_codes(codes)
         cached = (jnp.asarray(packed), jnp.asarray(nmask),
                   jnp.asarray(lens))
-        _cache_put(key, cached)
+        if cache:
+            _cache_put(key, cached)
         return cached
 
-    def dispatch(chunk, L, s, mph=max_per_hit, pos_cap=max_pos):
+    def dispatch(chunk, L, s, mph=max_per_hit, pos_cap=max_pos,
+                 cache_batch=True):
         if built is not None:
-            packed_d, nmask_d, lens_d = packed_batch(chunk, L, s)
+            packed_d, nmask_d, lens_d = packed_batch(chunk, L, s,
+                                                      cache=cache_batch)
         else:
             # legacy (unpacked) path: build host arrays per pass
             R = batch_reads
@@ -686,7 +695,7 @@ def map_all_with_device(
                     # was ~100% of reads at cap 4 / trim 1x)
                     if mph < tier2_mph and max_ecnt[i] <= tier2_mph:
                         deferred.setdefault(
-                            bucket_len(len(seq)), []).append((rid, seq))
+                            device_bucket_len(len(seq)), []).append((rid, seq))
                         DEVICE_MAP_STATS["tier2_reads"] += 1
                     else:
                         DEVICE_MAP_STATS["overflow_reads"] += 1
@@ -750,6 +759,7 @@ def map_all_with_device(
     # minimizer amplification made overflow ~100% at cap 4 while <0.5%
     # of minimizers are actually hot (BASELINE.md round 5)
     tier2_mph = int(os.environ.get("MS_TPU_MAP_TIER2", "16"))
+    tier2_mph = min(tier2_mph, 30)  # v2 count-saturation bound (< 31)
     if tier2_mph <= max_per_hit:
         tier2_mph = 0
     deferred: dict[int, list[tuple[int, bytes]]] = {}
@@ -806,7 +816,7 @@ def map_all_with_device(
             for j, s in enumerate(range(0, len(members), batch_reads)):
                 chunk = members[s : s + batch_reads]
                 out = dispatch(chunk, L, ("t2", L, j), mph=tier2_mph,
-                               pos_cap=2 * max_pos)
+                               pos_cap=2 * max_pos, cache_batch=False)
                 window.append((chunk, *out[1:]))
                 if len(window) >= W:
                     drain_window()

@@ -234,10 +234,13 @@ def _device_all_vs_all(subset_store: SequenceStore, mapper_cfg,
     stack = list(reversed(chunks))
     while stack:
         lo, hi = stack.pop()
-        chunk_store = SequenceStore()
-        for rid, seq in items[lo:hi]:
-            chunk_store.add(subset_store.registry.name(rid), seq)
-        index_c = MinimizerIndex.build(chunk_store, mapper_cfg)
+        if lo == 0 and hi == len(items):
+            index_c = full_idx  # single-chunk subset: reuse, don't rebuild
+        else:
+            chunk_store = SequenceStore()
+            for rid, seq in items[lo:hi]:
+                chunk_store.add(subset_store.registry.name(rid), seq)
+            index_c = MinimizerIndex.build(chunk_store, mapper_cfg)
         built = build_device_tables(
             index_c.hashes, index_c.offsets, index_c.entry_unitig,
             index_c.entry_pos, index_c.entry_strand)

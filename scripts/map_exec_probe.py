@@ -68,18 +68,7 @@ def main() -> None:
         index.entry_strand)
 
     # length buckets exactly as map_all_with_device
-    from muchsalsa_tpu.pipeline.mapper import map_all_with_device  # noqa
-    def bucket_len(n: int) -> int:
-        # mirror map_all_with_device's quarter-step buckets
-        L = 1024
-        while L < n:
-            L *= 2
-        if L > 1024:
-            for frac in (5, 6, 7):
-                cand = (L // 8) * frac
-                if cand >= n:
-                    return cand
-        return L
+    from muchsalsa_tpu.pipeline.mapper import device_bucket_len as bucket_len
 
     buckets: dict[int, list] = {}
     for rid, seq in items:

@@ -113,12 +113,7 @@ def main() -> None:
     if ovf:
         from muchsalsa_tpu.pipeline.mapper import map_read
 
-        ovf_reads = [
-            (rid, seq) for rid, seq in reads.items()
-            if DEVICE_MAP_STATS and len(out) > 0
-        ]
-        # identify overflowed reads by re-checking budgets host-side:
-        # easiest faithful proxy — re-run map_read on a sample
+        # per-read host cost from a sample -> fallback wall estimate
         sample = [seq for _rid, seq in list(reads.items())[:200]]
         t0 = time.perf_counter()
         for seq in sample:

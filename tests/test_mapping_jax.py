@@ -331,6 +331,45 @@ def test_map_all_with_device_tier2_rescues_repeat_reads(monkeypatch):
     assert out2 == out
 
 
+def test_tier2_batches_not_cached_across_indexes(monkeypatch):
+    """Mapping the SAME store against two different indexes whose
+    tier-2 (overflow) read sets differ must not alias stale packed
+    tier-2 batches — a positional cache key would zip the first call's
+    reads onto the second call's rids (round-5 review finding)."""
+    import jax
+
+    from muchsalsa_tpu.pipeline.mapper import (
+        map_all_with_device, map_read)
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [dev0])
+
+    rng = np.random.default_rng(51)
+    repA, repB = random_genome(rng, 300), random_genome(rng, 300)
+    storeA, storeB = SequenceStore(), SequenceStore()
+    for i in range(6):
+        g = random_genome(rng, 600)
+        storeA.add(f"a{i}", g[:200] + repA + g[200:])
+        g2 = random_genome(rng, 600)
+        storeB.add(f"b{i}", g2[:200] + repB + g2[200:])
+    cfg = MapperConfig()
+    idxA = MinimizerIndex.build(storeA, cfg)
+    idxB = MinimizerIndex.build(storeB, cfg)
+
+    reads = SequenceStore()
+    reads.add("rA", repA)   # overflows (tiers) only vs index A
+    reads.add("rB", repB)   # overflows (tiers) only vs index B
+    reads.add("u", storeA.sequence(0)[:180])
+
+    outA = map_all_with_device(idxA, reads, cfg, max_pos=1024, max_per_hit=2)
+    outB = map_all_with_device(idxB, reads, cfg, max_pos=1024, max_per_hit=2)
+    for rid, maps in outA:
+        assert maps == map_read(idxA, reads.sequence(rid), cfg)
+    for rid, maps in outB:
+        assert maps == map_read(idxB, reads.sequence(rid), cfg)
+
+
 def test_map_all_with_device_empty():
     from muchsalsa_tpu.pipeline.mapper import map_all_with_device
 
