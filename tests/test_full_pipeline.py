@@ -71,3 +71,25 @@ def test_full_pipeline_resume(tmp_path):
     run_full_pipeline(illu1, illu2, nano, out)
     manifest2 = json.loads((out / "manifest.json").read_text())
     assert manifest1 == manifest2
+
+
+def test_full_pipeline_device_map_matches_host(tmp_path):
+    """`--device-map` through the full pipeline (meshed over the 8
+    virtual CPU devices) must produce a byte-identical assembly to the
+    all-host run — the pipeline-level form of the mapper parity
+    contract."""
+    _genome, illu1, illu2, nano = make_inputs(tmp_path, seed=321)
+
+    host_out = tmp_path / "host"
+    dev_out = tmp_path / "dev"
+    host_final = run_full_pipeline(illu1, illu2, nano, host_out,
+                                   device_map=False)
+    dev_final = run_full_pipeline(illu1, illu2, nano, dev_out,
+                                  device_map=True)
+    assert dev_final.read_bytes() == host_final.read_bytes()
+    # the three PAF stages must match too (the maps are where the
+    # device path actually ran)
+    for name in ("01_unitigs.paf", "01_contigs_corrected.paf",
+                 "02_contigs_corrected.scrubbed.paf"):
+        assert (dev_out / name).read_bytes() == (
+            host_out / name).read_bytes(), name
