@@ -330,6 +330,9 @@ _POOL_STATE: dict = {}
 # every map_all_with_device call so pipeline stage counters (and tests)
 # can assert the mesh actually engaged (SURVEY.md §5 metrics row)
 DEVICE_MAP_STATS: dict = {}
+# cumulative across map_all_with_device calls (reset by callers that
+# want a fresh measurement window, e.g. scripts/scrub_device_probe.py)
+DEVICE_MAP_STATS_CUM: dict = {}
 
 
 def _pool_map_one(args):
@@ -687,15 +690,23 @@ def map_all_with_device(
             np.cumsum(counts, out=offs[1:])
             for i, (rid, seq) in enumerate(chunk):
                 if width_ovf[i] or max_ecnt[i] > mph:
-                    # tier 2 widens BOTH the expansion cap and the
-                    # anchor trim (2x), so cap violations AND
-                    # trim-width overflow both retry on-device; reads
-                    # hot past tier 2's own cap go straight to the
-                    # host (round 5 — on repeat-rich genomes overflow
-                    # was ~100% of reads at cap 4 / trim 1x)
-                    if mph < tier2_mph and max_ecnt[i] <= tier2_mph:
-                        deferred.setdefault(
-                            device_bucket_len(len(seq)), []).append((rid, seq))
+                    # tier 2 widens the expansion cap AND the
+                    # candidate/anchor widths (2x), so cap violations
+                    # and trim-width overflow both retry on-device;
+                    # reads hot past tier 2's own cap — or in buckets
+                    # where tier 2's widths can't actually grow
+                    # (sel-bound small buckets) with no cap violation
+                    # to fix — go straight to the host (round 5)
+                    Lb = device_bucket_len(len(seq))
+                    t2_budgets = device_bucket_budgets(
+                        Lb, cfg.k, 2 * max_pos, tier2_mph)
+                    t1_budgets = device_bucket_budgets(
+                        Lb, cfg.k, max_pos, mph)
+                    tier2_helps = (
+                        max_ecnt[i] > mph or t2_budgets != t1_budgets)
+                    if (mph < tier2_mph and max_ecnt[i] <= tier2_mph
+                            and tier2_helps):
+                        deferred.setdefault(Lb, []).append((rid, seq))
                         DEVICE_MAP_STATS["tier2_reads"] += 1
                     else:
                         DEVICE_MAP_STATS["overflow_reads"] += 1
@@ -810,7 +821,10 @@ def map_all_with_device(
     # (BASELINE.md round 5: a 77%-coverage index put every read's
     # candidate count past the tier-1 cap).  Tier 2's own violations
     # fall back to the host in collect_dense (mph == tier2_mph there).
-    if deferred and built is not None and mesh is None:
+    if deferred:
+        # deferral only happens in collect_dense, which only runs on
+        # the single-device dense path (built is not None, mesh None) —
+        # the tier executables are always available here
         t2_buckets, deferred = deferred, {}
         for L, members in sorted(t2_buckets.items()):
             for j, s in enumerate(range(0, len(members), batch_reads)):
@@ -821,12 +835,14 @@ def map_all_with_device(
                 if len(window) >= W:
                     drain_window()
         drain_window()
-    elif deferred:
-        # meshed / legacy paths have no tier executables: host fallback
-        for members in deferred.values():
-            for rid, seq in members:
-                DEVICE_MAP_STATS["overflow_reads"] += 1
-                results[rid] = map_read(index, seq, cfg)
+
+    # cumulative counters survive across calls (a scrub's chunked
+    # all-vs-all makes many calls; per-call stats describe only the
+    # last one)
+    for k2 in ("total_reads", "overflow_reads", "tier2_reads",
+               "dense_repulls"):
+        DEVICE_MAP_STATS_CUM[k2] = (
+            DEVICE_MAP_STATS_CUM.get(k2, 0) + DEVICE_MAP_STATS[k2])
 
     return [(rid, results[rid]) for rid, _ in items]
 

@@ -198,21 +198,32 @@ def _device_all_vs_all(subset_store: SequenceStore, mapper_cfg,
 
     items = list(subset_store.items())
     # multiplicity guard (measured, BASELINE.md round 5): in an
-    # all-vs-all every minimizer indexes ~coverage reads, so at
-    # coverage > max_per_hit EVERY read trips the per-minimizer
-    # expansion cap and "device" degrades to N-chunk host fallback
-    # (1,697 s vs 215 s host at 40 Mb).  The exact multiplicity is
-    # entries/hashes of the full subset index (one build — the host
-    # path pays the same); past the cap return None and let the
-    # caller run the plain host path.
+    # all-vs-all every minimizer indexes ~coverage reads, so past the
+    # mapper's expansion budgets EVERY read overflows and "device"
+    # degrades to N-chunk host fallback (1,697 s vs 215 s host at
+    # 40 Mb).  The exact multiplicity is entries/hashes of the full
+    # subset index (built once here and REUSED — returned to the
+    # caller on decline, fed to the single-chunk path otherwise).
+    # Viability accounts for the mapper's tier-2 ladder: the read
+    # survives iff multiplicity fits the tier-2 cap AND its expected
+    # anchor count (~len/3 candidates x multiplicity) fits the tier-2
+    # anchor trim.
     full_idx = MinimizerIndex.build(subset_store, mapper_cfg)
-    if len(full_idx.hashes):
+    if len(full_idx.hashes) and items:
+        import os as _os
+
         mult = len(full_idx.entry_pos) / len(full_idx.hashes)
-        if mult > 4:
+        tier2_cap = min(int(_os.environ.get("MS_TPU_MAP_TIER2", "16")), 30)
+        avg_len = sum(len(s) for _r, s in items) / len(items)
+        est_anchors = (avg_len / 3) * mult
+        tier2_trim = 2 * (2 * 2048)  # tier-2 trim at the default caps
+        if mult > 4 and (mult > tier2_cap or est_anchors > tier2_trim):
             print(f"[scrub] device ava declined: minimizer multiplicity "
-                  f"{mult:.1f} > expansion cap (coverage-bound "
-                  f"all-vs-all runs host-native)", flush=True)
-            return None
+                  f"{mult:.1f} (est. {est_anchors:.0f} anchors/read) "
+                  f"exceeds the device expansion budgets — "
+                  f"coverage-bound all-vs-all runs host-native",
+                  flush=True)
+            return None, full_idx
     # size chunks by estimated entries (~len/3 minimizers per read).
     # The binding constraint is usually the rank-probe bucket cap (<=31
     # distinct hashes per 2^22-bucket), not the 27-bit offset bound, so
@@ -255,7 +266,7 @@ def _device_all_vs_all(subset_store: SequenceStore, mapper_cfg,
             for m in maps:
                 m.unitig += lo  # rebase chunk-local target ids
             merged[rid].extend(maps)
-    return [(rid, merged[rid]) for rid, _seq in items]
+    return [(rid, merged[rid]) for rid, _seq in items], full_idx
 
 
 def _subset_overlap_records(
@@ -289,15 +300,17 @@ def _subset_overlap_records(
     sketches = None
     index = None
     if device:
-        per_read = _device_all_vs_all(subset_store, mapper_cfg)
+        per_read, index = _device_all_vs_all(subset_store, mapper_cfg)
     if per_read is None:
         if not use_native:
             sketches = {
                 sid: minimizers(seq, mapper_cfg.k, mapper_cfg.w)
                 for sid, seq in subset_store.items()
             }
-        index = MinimizerIndex.build(subset_store, mapper_cfg,
-                                     sketches=sketches)
+        if index is None:
+            # (the declined device path already built and returned it)
+            index = MinimizerIndex.build(subset_store, mapper_cfg,
+                                         sketches=sketches)
         per_read = map_batch(index, subset_store, mapper_cfg) if use_native else None
     if per_read is None:
         per_read = [

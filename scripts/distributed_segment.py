@@ -78,7 +78,7 @@ def main() -> None:
                   read_names=sreads.registry.name)
     scrubbed_paf = outdir / "scrubbed.paf"
     # sentinel line: the core parser drops the final PAF line
-    write_paf(paf + ["s\t1\t0\t1\t+\ts\t1\t0\t1\t0\t1\t0"], scrubbed_paf)
+    write_paf(paf + ["__sentinel__\t1\t0\t1\t+\t__sentinel__\t1\t0\t1\t0\t1\t0"], scrubbed_paf)
 
     # -- core (component-sharded + allgather)
     summary = assemble(

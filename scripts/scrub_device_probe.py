@@ -38,7 +38,8 @@ def main() -> None:
 
     from muchsalsa_tpu.config import MapperConfig, ScrubConfig
     from muchsalsa_tpu.io.fasta import SequenceStore
-    from muchsalsa_tpu.pipeline.mapper import DEVICE_MAP_STATS
+    from muchsalsa_tpu.pipeline.mapper import (
+        DEVICE_MAP_STATS_CUM)
     from muchsalsa_tpu.pipeline.scrubber import scrub_reads
 
     paf2 = outdir / "01_contigs_corrected.paf"
@@ -57,14 +58,13 @@ def main() -> None:
     print(f"[scrub_probe] host scrub: {host_s:.1f}s "
           f"({len(host_out)} records)", flush=True)
 
-    for k in ("overflow_reads", "dense_repulls"):
-        DEVICE_MAP_STATS[k] = 0
+    DEVICE_MAP_STATS_CUM.clear()
     t0 = time.perf_counter()
     dev_out = scrub_reads(lines, reads, scfg, mcfg, device=True)
     dev_s = time.perf_counter() - t0
     print(f"[scrub_probe] device scrub (first pass, incl. any "
           f"once-ever compiles): {dev_s:.1f}s ({len(dev_out)} records) "
-          f"stats={DEVICE_MAP_STATS}", flush=True)
+          f"stats={DEVICE_MAP_STATS_CUM}", flush=True)
 
     assert dev_out == host_out, "device scrub diverged from host"
     print("[scrub_probe] PARITY: PASS (device records == host records)",

@@ -119,10 +119,10 @@ def test_device_all_vs_all_chunked_matches_single():
         store.add(f"r{i}", genome[s : s + 7000])
 
     mcfg = MapperConfig()
-    single = _device_all_vs_all(store, mcfg)
+    single, _idx = _device_all_vs_all(store, mcfg)
     assert any(maps for _rid, maps in single), "fixture must overlap"
     # entry budget ~ one read's minimizers -> one chunk per read
-    chunked = _device_all_vs_all(store, mcfg, entry_budget=3_000)
+    chunked, _idx2 = _device_all_vs_all(store, mcfg, entry_budget=3_000)
     assert chunked == single
 
     # and the full scrub output through forced chunking is unchanged

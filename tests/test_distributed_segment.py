@@ -96,7 +96,7 @@ def test_four_process_segment_matches_single(tmp_path):
                   unitig_names=unitigs.registry.name,
                   read_names=sreads.registry.name)
     scrubbed_paf = single / "scrubbed.paf"
-    write_paf(paf + ["s\t1\t0\t1\t+\ts\t1\t0\t1\t0\t1\t0"], scrubbed_paf)
+    write_paf(paf + ["__sentinel__\t1\t0\t1\t+\t__sentinel__\t1\t0\t1\t0\t1\t0"], scrubbed_paf)
     summary = assemble(scrubbed_paf, unitigs_fa, scrubbed_fa, single)
     assert summary["components"] >= 3, "fixture must yield >=3 components"
 
