@@ -178,7 +178,8 @@ def _subset_schedule(
 
 
 def _device_all_vs_all(subset_store: SequenceStore, mapper_cfg,
-                       entry_budget: float = 60e6):
+                       entry_budget: float = 60e6,
+                       max_chunks: float = 2):
     """All-vs-all of one scrub subset on the device.
 
     A 60 k-read subset indexes ~180M minimizer entries — past the v2
@@ -210,18 +211,22 @@ def _device_all_vs_all(subset_store: SequenceStore, mapper_cfg,
     # anchor trim.
     full_idx = MinimizerIndex.build(subset_store, mapper_cfg)
     if len(full_idx.hashes) and items:
-        import os as _os
-
         mult = len(full_idx.entry_pos) / len(full_idx.hashes)
-        tier2_cap = min(int(_os.environ.get("MS_TPU_MAP_TIER2", "16")), 30)
-        avg_len = sum(len(s) for _r, s in items) / len(items)
-        est_anchors = (avg_len / 3) * mult
-        tier2_trim = 2 * (2 * 2048)  # tier-2 trim at the default caps
-        if mult > 4 and (mult > tier2_cap or est_anchors > tier2_trim):
-            print(f"[scrub] device ava declined: minimizer multiplicity "
-                  f"{mult:.1f} (est. {est_anchors:.0f} anchors/read) "
-                  f"exceeds the device expansion budgets — "
-                  f"coverage-bound all-vs-all runs host-native",
+        est_chunks = max(1.0, len(full_idx.entry_pos) / entry_budget)
+        # two measured disqualifiers (BASELINE.md round 5):
+        # - chunk multiplication: every subset read maps against EVERY
+        #   index chunk, so an N-chunk subset costs N x the mapping
+        #   work of the host's single index (40 Mb: 12 chunks -> 12 x
+        #   53k = 639k mappings, 1,400 s vs 102 s host even with the
+        #   tier ladder rescuing everything);
+        # - universal tiering: multiplicity near/above the tier-1 cap
+        #   routes essentially every read through a second device
+        #   pass, doubling exec.
+        if est_chunks > max_chunks or mult > 4:
+            print(f"[scrub] device ava declined: multiplicity {mult:.1f}, "
+                  f"~{est_chunks:.0f} index chunks — the coverage-bound "
+                  f"all-vs-all runs host-native (pair-join formulation "
+                  f"needed for a device win, docs/DESIGN.md §9)",
                   flush=True)
             return None, full_idx
     # size chunks by estimated entries (~len/3 minimizers per read).

@@ -122,7 +122,8 @@ def test_device_all_vs_all_chunked_matches_single():
     single, _idx = _device_all_vs_all(store, mcfg)
     assert any(maps for _rid, maps in single), "fixture must overlap"
     # entry budget ~ one read's minimizers -> one chunk per read
-    chunked, _idx2 = _device_all_vs_all(store, mcfg, entry_budget=3_000)
+    chunked, _idx2 = _device_all_vs_all(store, mcfg, entry_budget=3_000,
+                                        max_chunks=99)
     assert chunked == single
 
     # and the full scrub output through forced chunking is unchanged
@@ -137,7 +138,8 @@ def test_device_all_vs_all_chunked_matches_single():
     orig = scr._device_all_vs_all
     try:
         scr._device_all_vs_all = (
-            lambda s, m, entry_budget=3_000: orig(s, m, entry_budget))
+            lambda s, m, entry_budget=3_000: orig(s, m, entry_budget,
+                                                  max_chunks=99))
         dev = scrub_reads(paf, store, ScrubConfig(subset_size=3), mcfg,
                           device=True)
     finally:
