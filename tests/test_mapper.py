@@ -226,3 +226,46 @@ def test_sketch_batch_matches_minimizers():
         np.testing.assert_array_equal(pos[lo:hi], p_ref)
         np.testing.assert_array_equal(h[lo:hi], h_ref)
         np.testing.assert_array_equal(strand[lo:hi], s_ref)
+
+
+def test_device_bucket_len_invariants():
+    """Quarter-step buckets: cover n, within 25% of it (above 1024),
+    256-aligned, monotone — the properties the budget scaling and the
+    AOT-cache shape reuse rest on."""
+    from muchsalsa_tpu.pipeline.mapper import device_bucket_len
+
+    prev = 0
+    for n in list(range(1, 4096, 37)) + list(range(4096, 200_000, 997)):
+        L = device_bucket_len(n)
+        assert L >= n
+        assert L % 256 == 0 or L == 1024
+        if n > 1024:
+            assert L <= n * 1.25 + 256, (n, L)
+        assert L >= prev or n < prev  # monotone in n
+        prev = L
+
+
+def test_device_bucket_budgets_invariants():
+    """Budgets scale with the bucket and respect the structural caps."""
+    from muchsalsa_tpu.pipeline.mapper import (
+        device_bucket_budgets, device_bucket_len)
+
+    for n in (900, 3_000, 9_000, 16_000, 60_000):
+        L = device_bucket_len(n)
+        for mph in (2, 4, 16):
+            sel, pos, trim = device_bucket_budgets(L, 15, 2048, mph)
+            Lk = L - 15 + 1
+            assert sel % 128 == 0
+            assert sel >= L // 3          # covers minimizer density 1/3
+            assert sel <= Lk + 128        # never wider than the sketch
+            assert pos <= min(2048, sel)
+            if mph <= 2:
+                assert trim is None
+            elif mph <= 4:
+                assert trim == pos
+            else:
+                assert trim == 2 * pos
+        # tier-2 cap widens pos where sel allows
+        _s1, p1, _t1 = device_bucket_budgets(L, 15, 2048, 4)
+        _s2, p2, _t2 = device_bucket_budgets(L, 15, 4096, 16)
+        assert p2 >= p1
