@@ -652,3 +652,57 @@ def test_split_pipeline_matches_fused():
             np.testing.assert_array_equal(
                 np.asarray(fused[key]), np.asarray(split[key]),
                 err_msg=f"{key} max_pos={max_pos} A={A}")
+
+
+def test_tier2_env_clamped_to_saturation_bound(monkeypatch):
+    """MS_TPU_MAP_TIER2 above the v2 count-saturation bound (31) must
+    clamp, not crash the mapping pass (round-5 review finding)."""
+    import jax
+
+    from muchsalsa_tpu.pipeline.mapper import map_all_with_device, map_read
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [dev0])
+    monkeypatch.setenv("MS_TPU_MAP_TIER2", "64")
+
+    rng = np.random.default_rng(52)
+    rep = random_genome(rng, 300)
+    store = SequenceStore()
+    for i in range(6):
+        g = random_genome(rng, 600)
+        store.add(f"u{i}", g[:200] + rep + g[200:])
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+    reads = SequenceStore()
+    reads.add("r0", rep)
+    out = map_all_with_device(index, reads, cfg, max_pos=1024, max_per_hit=2)
+    assert out[0][1] == map_read(index, rep, cfg)
+
+
+def test_device_map_stats_cum_accumulates(monkeypatch):
+    """DEVICE_MAP_STATS resets per call; the cumulative dict must sum
+    across calls (multi-call measurements like the chunked ava)."""
+    import jax
+
+    from muchsalsa_tpu.pipeline.mapper import (
+        DEVICE_MAP_STATS_CUM, map_all_with_device)
+    from muchsalsa_tpu.testing.simulate import random_genome
+
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [dev0])
+
+    rng = np.random.default_rng(53)
+    store = SequenceStore()
+    for i in range(4):
+        store.add(f"u{i}", random_genome(rng, 900))
+    cfg = MapperConfig()
+    index = MinimizerIndex.build(store, cfg)
+    reads = SequenceStore()
+    for i in range(3):
+        reads.add(f"r{i}", store.sequence(i)[50:850])
+
+    DEVICE_MAP_STATS_CUM.clear()
+    map_all_with_device(index, reads, cfg)
+    map_all_with_device(index, reads, cfg)
+    assert DEVICE_MAP_STATS_CUM["total_reads"] == 6
